@@ -1,0 +1,499 @@
+"""Gaussian diffusion process engine — forward q-process, DDPM/DDIM sampling,
+losses, and guidance — built TPU-first.
+
+Functional re-design of the reference engine
+(/root/reference/nicediffusion/diffusion.py:22-438). Key departures, all
+deliberate TPU-native choices:
+
+  * The entire reverse chain runs as **one jitted jax.lax.scan** over the
+    rescaled step index (replacing the host Python loop at reference
+    diffusion.py:206-220), with every coefficient table folded into the
+    compiled program — no per-step host->device copies (the reference's
+    `extract`, diffusion.py:478-496, re-uploads numpy arrays every step).
+  * Classifier-free guidance runs the conditional and null-class branches as
+    **one doubled-batch UNet call** instead of two sequential calls
+    (reference diffusion.py:278-284): all norms are GroupNorm (batch-stat
+    free), so results are identical and the MXU sees twice the batch.
+  * Parameters are passed explicitly, so "sample with EMA weights" is just
+    calling with a different pytree (vs. the reference's in-place parameter
+    swapping, diffusion.py:184-189, 222-225).
+  * RNG is explicit `jax.random` key threading (one fold per step).
+
+Schedule tables are precomputed in float64 on the host (ops/schedule.py),
+cast to float32 at use — exactly the reference's numerics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.math import discretized_gaussian_log_likelihood, kl_div, mean_flat
+from ..ops.schedule import DiffusionSchedule
+
+__all__ = ["Diffusion", "VarType", "LossType"]
+
+
+class VarType(enum.Enum):
+    """Sampling variance modes (reference diffusion.py:552-572)."""
+
+    SMALL = enum.auto()
+    LARGE = enum.auto()
+    LEARNED = enum.auto()
+    LEARNED_INTERPOLATION = enum.auto()
+
+    @staticmethod
+    def parse(s: "str | VarType") -> "VarType":
+        if isinstance(s, VarType):
+            return s
+        try:
+            return {
+                "small": VarType.SMALL,
+                "large": VarType.LARGE,
+                "learned": VarType.LEARNED,
+                "learned_interpolation": VarType.LEARNED_INTERPOLATION,
+            }[s]
+        except KeyError:
+            raise NotImplementedError(s) from None
+
+    @property
+    def is_learned(self) -> bool:
+        return self in (VarType.LEARNED, VarType.LEARNED_INTERPOLATION)
+
+
+class LossType(enum.Enum):
+    """Training loss modes (reference diffusion.py:575-595)."""
+
+    SIMPLE = enum.auto()
+    KL = enum.auto()
+    KL_RESCALED = enum.auto()
+    HYBRID = enum.auto()
+
+    @staticmethod
+    def parse(s: "str | LossType") -> "LossType":
+        if isinstance(s, LossType):
+            return s
+        try:
+            return {
+                "simple": LossType.SIMPLE,
+                "KL": LossType.KL,
+                "KL_rescaled": LossType.KL_RESCALED,
+                "hybrid": LossType.HYBRID,
+            }[s]
+        except KeyError:
+            raise NotImplementedError(s) from None
+
+
+def _bcast(table: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
+    """Gather per-timestep coefficients and broadcast over trailing dims.
+
+    Device-side analogue of reference `extract` (diffusion.py:478-496) — the
+    table is already a device constant baked into the jitted program.
+    """
+    out = jnp.take(table, t)
+    return out.reshape(out.shape + (1,) * (ndim - out.ndim))
+
+
+class Diffusion:
+    """Diffusion chain handler: `.diffuse()`, `.denoise()`, `.loss()`.
+
+    Mirrors the reference constructor surface (diffusion.py:23-130) minus the
+    device plumbing (XLA owns placement). `model` is a flax module (e.g.
+    nicediffusion_tpu.models.DiffusionModel); its parameters are passed
+    explicitly to every method, which is how EMA sampling works.
+
+    `classifier` is an optional callable `(x_nhwc, t_rescaled) -> logits`
+    used for classifier guidance; per the reference quirk it receives the
+    *rescaled* timestep, not the mapped original one (diffusion.py:301).
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        original_num_steps: int,
+        rescaled_num_steps: int,
+        sampling_var_type: str | VarType,
+        loss_type: str | LossType,
+        betas: Sequence[float] | np.ndarray | None = None,
+        beta_schedule: str = "linear",
+        guidance_method: str | None = None,
+        guidance_strength: float | None = None,
+        classifier: Callable | None = None,
+        use_ddim: bool = False,
+        ddim_eta: float | None = None,
+        clip_x: bool = True,
+    ):
+        if guidance_method not in (None, "classifier", "classifier_free"):
+            raise NotImplementedError(guidance_method)
+        if model is not None and guidance_method is not None:
+            assert model.conditional, "can only use guidance if model is conditional"
+        if use_ddim:
+            assert ddim_eta is not None, "please supply eta if you want to use ddim"
+
+        self.model = model
+        self.guidance = guidance_method
+        self.strength = guidance_strength
+        self.classifier = classifier
+        self.use_ddim = use_ddim
+        self.ddim_eta = ddim_eta
+        self.clip_x = clip_x
+        self.sampling_var_type = VarType.parse(sampling_var_type)
+        self.loss_type = LossType.parse(loss_type)
+        self.original_num_steps = original_num_steps
+
+        self.schedule = DiffusionSchedule.create(
+            original_num_steps=original_num_steps,
+            rescaled_num_steps=rescaled_num_steps,
+            beta_schedule=beta_schedule,
+            betas=betas,
+        )
+        self.rescaled_num_steps = self.schedule.rescaled_num_steps
+        self.timestep_map = jnp.asarray(self.schedule.timestep_map, dtype=jnp.int32)
+
+        # Coefficient tables as float32 device constants (folded into jit).
+        s = self.schedule
+        as32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+        self._sqrt_acp = as32(s.sqrt_alphas_cumprod)
+        self._sqrt_1macp = as32(s.sqrt_one_minus_alphas_cumprod)
+        self._sqrt_recip_acp = as32(s.sqrt_reciprocal_alphas_cumprod)
+        self._sqrt_recipm1_acp = as32(s.sqrt_reciprocal_alphas_minus_one_cumprod)
+        self._acp = as32(s.alphas_cumprod)
+        self._acp_prev = as32(s.alphas_cumprod_prev)
+        self._post_coef_x0 = as32(s.posterior_mean_coef_x0)
+        self._post_coef_xt = as32(s.posterior_mean_coef_xt)
+        self._log_post_var = as32(s.log_posterior_var_clipped)
+        self._log_betas = as32(s.log_betas)
+        self._log_var_large = as32(s.log_var_large)
+        self._log_var_small = as32(s.log_var_small)
+
+        self._sampler_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # Forward (q) process
+    # ------------------------------------------------------------------
+
+    def q_sample(self, x_0, t, noise):
+        """Sample q(x_t | x_0) (DDPM eq. 4; reference diffusion.py:232-240)."""
+        return (
+            _bcast(self._sqrt_acp, t, x_0.ndim) * x_0
+            + _bcast(self._sqrt_1macp, t, x_0.ndim) * noise
+        )
+
+    def diffuse(self, x_0, rng=None, steps_to_do=None, noise=None):
+        """Jump straight to q(x_t | x_0) at rescaled step `steps_to_do - 1`
+        (reference diffusion.py:132-153)."""
+        if steps_to_do is None or steps_to_do > self.rescaled_num_steps:
+            steps_to_do = self.rescaled_num_steps
+        if noise is None:
+            assert rng is not None, "pass rng or explicit noise"
+            noise = jax.random.normal(rng, x_0.shape, dtype=x_0.dtype)
+        t = jnp.full((x_0.shape[0],), steps_to_do - 1, dtype=jnp.int32)
+        return self.q_sample(x_0, t, noise)
+
+    # ------------------------------------------------------------------
+    # Model output handling
+    # ------------------------------------------------------------------
+
+    def _apply_model(self, params, x, t, y):
+        """Run the UNet at the mapped original timestep (diffusion.py:246)."""
+        mapped = jnp.take(self.timestep_map, t)
+        kwargs = {"y": y} if self.model.conditional else {}
+        return self.model.apply({"params": params}, x, mapped, **kwargs)
+
+    def _resolve_log_var(self, raw_log_var, t, ndim):
+        """Resolve the log-variance per sampling_var_type
+        (reference diffusion.py:248-263). `raw_log_var` is the model's second
+        channel half (learned modes) or None (fixed modes)."""
+        vt = self.sampling_var_type
+        if vt == VarType.LEARNED:
+            return raw_log_var
+        elif vt == VarType.LEARNED_INTERPOLATION:
+            min_log = _bcast(self._log_post_var, t, ndim)
+            max_log = _bcast(self._log_betas, t, ndim)
+            frac = (raw_log_var + 1) / 2
+            return frac * max_log + (1 - frac) * min_log
+        elif vt == VarType.LARGE:
+            return _bcast(self._log_var_large, t, ndim)
+        elif vt == VarType.SMALL:
+            return _bcast(self._log_var_small, t, ndim)
+        raise NotImplementedError(vt)
+
+    def _split_out(self, out):
+        """Split the model output into (eps, raw_log_var-or-None)
+        (reference diffusion.py:248-252)."""
+        if self.sampling_var_type.is_learned:
+            eps, raw = jnp.split(out, 2, axis=-1)
+            return eps, raw
+        return out, None
+
+    def get_eps_and_log_var(self, params, x_t, t, y=None):
+        """Predicted epsilon and (learned or fixed) log variance
+        (reference diffusion.py:242-264)."""
+        eps, raw = self._split_out(self._apply_model(params, x_t, t, y))
+        return eps, self._resolve_log_var(raw, t, x_t.ndim)
+
+    def _guided_eps(self, params, x, t, y, *, want_log_var: bool):
+        """Epsilon (+ log_var) with classifier-free guidance fused into a
+        single doubled-batch model call when active.
+
+        Matches reference CFG arithmetic `(1+w)*eps_c - w*eps_0`
+        (diffusion.py:278-284 / 341-347); the log_var comes from the
+        conditional branch, as in the reference.
+        """
+        if self.guidance != "classifier_free":
+            out = self._apply_model(params, x, t, y)
+        else:
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
+            out2 = self._apply_model(params, x2, t2, y2)
+            cond, uncond = jnp.split(out2, 2, axis=0)
+            if self.sampling_var_type.is_learned:
+                eps_c, raw = jnp.split(cond, 2, axis=-1)
+                eps_u, _ = jnp.split(uncond, 2, axis=-1)
+                eps = (1 + self.strength) * eps_c - self.strength * eps_u
+                out = jnp.concatenate([eps, raw], axis=-1)
+            else:
+                out = (1 + self.strength) * cond - self.strength * uncond
+
+        eps, raw = self._split_out(out)
+        if not want_log_var:
+            return eps, None
+        return eps, self._resolve_log_var(raw, t, x.ndim)
+
+    def _classifier_grad(self, x, t, y):
+        """grad_x log p(y | x, t) via jax.grad (replaces torch.autograd.grad,
+        reference diffusion.py:299-304). Classifier sees the rescaled t."""
+
+        def log_prob(xx):
+            log_probs = jax.nn.log_softmax(self.classifier(xx, t), axis=-1)
+            return jnp.sum(
+                jnp.take_along_axis(log_probs, y.reshape(-1, 1), axis=-1)
+            )
+
+        return jax.grad(log_prob)(x)
+
+    # ------------------------------------------------------------------
+    # Reverse (p) steps — pure functions of (params, x, t, rng)
+    # ------------------------------------------------------------------
+
+    def ddpm_step(self, params, x_t, t, rng=None, y=None, noise=None):
+        """One DDPM ancestral step (reference diffusion.py:266-316).
+
+        Returns (sample, pred_x0). `t` is a (B,) rescaled-index array;
+        `noise` may be injected for parity tests.
+        """
+        eps, log_var = self._guided_eps(params, x_t, t, y, want_log_var=True)
+
+        pred_x0 = (
+            _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
+            - _bcast(self._sqrt_recipm1_acp, t, x_t.ndim) * eps
+        )
+        if self.clip_x:
+            pred_x0 = jnp.clip(pred_x0, -1, 1)
+
+        mean = (
+            _bcast(self._post_coef_x0, t, x_t.ndim) * pred_x0
+            + _bcast(self._post_coef_xt, t, x_t.ndim) * x_t
+        )
+
+        if self.guidance == "classifier":
+            grad = self._classifier_grad(x_t, t, y)
+            mean = mean + self.strength * grad * jnp.exp(log_var)
+
+        if noise is None:
+            noise = jax.random.normal(rng, x_t.shape, dtype=jnp.float32)
+        mask = (1.0 - (t == 0).astype(jnp.float32)).reshape(
+            (x_t.shape[0],) + (1,) * (x_t.ndim - 1)
+        )
+        sample = mean + mask * jnp.exp(0.5 * log_var) * noise
+        return sample.astype(jnp.float32), pred_x0
+
+    def ddim_step(self, params, x_t, t, rng=None, y=None, noise=None):
+        """One DDIM step, eq. 12 of DDIM (reference diffusion.py:318-369)."""
+        want_var = False
+        if self.guidance == "classifier":
+            eps, _ = self._guided_eps(params, x_t, t, y, want_log_var=want_var)
+            grad = self._classifier_grad(x_t, t, y)
+            eps = eps - self.strength * grad * _bcast(self._sqrt_1macp, t, x_t.ndim)
+        else:
+            eps, _ = self._guided_eps(params, x_t, t, y, want_log_var=want_var)
+
+        pred_x0 = (
+            _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
+            - _bcast(self._sqrt_recipm1_acp, t, x_t.ndim) * eps
+        )
+        if self.clip_x:
+            pred_x0 = jnp.clip(pred_x0, -1, 1)
+
+        alpha_bar = _bcast(self._acp, t, x_t.ndim)
+        alpha_bar_prev = _bcast(self._acp_prev, t, x_t.ndim)
+        var = (
+            self.ddim_eta**2
+            * (1.0 - alpha_bar_prev)
+            * (1.0 - alpha_bar / alpha_bar_prev)
+            / (1.0 - alpha_bar)
+        )
+        mean = pred_x0 * jnp.sqrt(alpha_bar_prev) + jnp.sqrt(
+            1 - alpha_bar_prev - var
+        ) * eps
+
+        if noise is None:
+            noise = jax.random.normal(rng, x_t.shape, dtype=jnp.float32)
+        mask = (1.0 - (t == 0).astype(jnp.float32)).reshape(
+            (x_t.shape[0],) + (1,) * (x_t.ndim - 1)
+        )
+        sample = mean + mask * jnp.sqrt(var) * noise
+        return sample.astype(jnp.float32), pred_x0
+
+    # ------------------------------------------------------------------
+    # Full reverse chain as a single jitted scan
+    # ------------------------------------------------------------------
+
+    def _make_sampler(self, steps_to_do: int, progress: bool):
+        step_fn = self.ddim_step if self.use_ddim else self.ddpm_step
+
+        def sampler(params, rng, x, y):
+            def body(carry, t_scalar):
+                xc, key = carry
+                key, step_key = jax.random.split(key)
+                t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
+                xc, _ = step_fn(params, xc, t, step_key, y)
+                if progress:
+                    jax.debug.callback(
+                        lambda tt: print(f"  denoise step t={tt}", flush=True),
+                        t_scalar,
+                        ordered=False,
+                    )
+                return (xc, key), None
+
+            ts = jnp.arange(steps_to_do - 1, -1, -1)
+            (x, _), _ = jax.lax.scan(body, (x, rng), ts)
+            return x
+
+        return jax.jit(sampler)
+
+    def denoise(
+        self,
+        params,
+        rng,
+        x=None,
+        y=None,
+        start_step=None,
+        steps_to_do=None,
+        batch_size: int = 1,
+        progress: bool = False,
+    ):
+        """Run the reverse chain (reference diffusion.py:155-226).
+
+        `params` may be the live or the EMA pytree — EMA sampling is just a
+        different argument (no weight swapping). Starts from N(0, I) when `x`
+        is None. The whole chain is one compiled scan; the (steps, progress)
+        pair is compilation-cached.
+        """
+        if self.model.conditional:
+            assert y is not None, "pass label iff model is class-conditional"
+        else:
+            assert y is None, "pass label iff model is class-conditional"
+
+        if start_step is None:
+            start_step = self.rescaled_num_steps
+        if steps_to_do is None or steps_to_do > start_step:
+            steps_to_do = start_step
+
+        if x is None:
+            assert start_step == self.rescaled_num_steps, (
+                "cannot start from noise with current step that is not T"
+            )
+            rng, init_rng = jax.random.split(rng)
+            x = jax.random.normal(
+                init_rng,
+                (batch_size, self.model.resolution, self.model.resolution,
+                 self.model.in_channels),
+                dtype=jnp.float32,
+            )
+        if y is not None:
+            assert y.shape[0] == x.shape[0], "len(labels) != batch size"
+
+        key = (int(steps_to_do), bool(progress))
+        if key not in self._sampler_cache:
+            self._sampler_cache[key] = self._make_sampler(*key)
+        return self._sampler_cache[key](params, rng, x, y)
+
+    # ------------------------------------------------------------------
+    # Training losses
+    # ------------------------------------------------------------------
+
+    def loss(self, params, x_0, t, rng, y=None, noise=None, dropout_rng=None):
+        """Training loss in bits/dim (reference diffusion.py:375-410).
+
+        SIMPLE: mean MSE(eps_pred, noise). KL / KL_RESCALED: VLB term
+        (x rescaled_num_steps). HYBRID: L_simple + 0.001 * L_vlb with the VLB
+        epsilon stop-gradiented so it only trains the variances (IDDPM eq. 16).
+        """
+        if noise is None:
+            rng, noise_rng = jax.random.split(rng)
+            noise = jax.random.normal(noise_rng, x_0.shape, dtype=x_0.dtype)
+
+        x_t = self.q_sample(x_0, t, noise)
+
+        mapped = jnp.take(self.timestep_map, t)
+        kwargs = {"y": y} if self.model.conditional else {}
+        apply_kwargs = {}
+        if dropout_rng is not None:
+            apply_kwargs = {"rngs": {"dropout": dropout_rng},
+                            "deterministic": False}
+        out = self.model.apply({"params": params}, x_t, mapped, **kwargs,
+                               **apply_kwargs)
+        eps_pred, raw = self._split_out(out)
+        log_var = self._resolve_log_var(raw, t, x_t.ndim)
+
+        if self.loss_type == LossType.SIMPLE:
+            return mean_flat((eps_pred - noise) ** 2)
+        elif self.loss_type in (LossType.KL, LossType.KL_RESCALED):
+            loss = self.variational_lower_bound(x_0, x_t, t, eps_pred, log_var)
+            if self.loss_type == LossType.KL_RESCALED:
+                loss = loss * self.rescaled_num_steps
+            return loss
+        else:  # HYBRID
+            loss_simple = mean_flat((eps_pred - noise) ** 2)
+            eps_detached = jax.lax.stop_gradient(eps_pred)
+            loss_vlb = (
+                self.variational_lower_bound(x_0, x_t, t, eps_detached, log_var)
+                * self.rescaled_num_steps
+            )
+            return loss_simple + 0.001 * loss_vlb
+
+    def variational_lower_bound(self, x_0, x_t, t, eps_pred, log_var):
+        """Per-t VLB term in bits/dim (reference diffusion.py:412-438)."""
+        true_mean = (
+            _bcast(self._post_coef_x0, t, x_0.ndim) * x_0
+            + _bcast(self._post_coef_xt, t, x_t.ndim) * x_t
+        )
+        true_log_var = jnp.broadcast_to(
+            _bcast(self._log_post_var, t, x_0.ndim), x_0.shape
+        )
+
+        pred_x0 = (
+            _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
+            - _bcast(self._sqrt_recipm1_acp, t, x_t.ndim) * eps_pred
+        )
+        mean = (
+            _bcast(self._post_coef_x0, t, x_t.ndim) * pred_x0
+            + _bcast(self._post_coef_xt, t, x_t.ndim) * x_t
+        )
+
+        log_var = jnp.broadcast_to(log_var, x_0.shape)
+        kl = kl_div(true_mean, true_log_var, mean, log_var)
+        kl = mean_flat(kl) / np.log(2.0)
+
+        nll = -discretized_gaussian_log_likelihood(x_0, mean, log_var)
+        nll = mean_flat(nll) / np.log(2.0)
+
+        return jnp.where(t == 0, nll, kl)

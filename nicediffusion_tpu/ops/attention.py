@@ -1,0 +1,70 @@
+"""Multi-head QKV self-attention over flattened image tokens.
+
+The reference's AttentionBlock (reference model.py:214-291) supports two
+weight layouts for the fused qkv projection, selected by ``split_qkv_first``:
+
+  * ``True``  (model.py:266-277): the 3C output channels are laid out
+    ``[q(C) | k(C) | v(C)]`` with heads contiguous inside each of q/k/v.
+  * ``False`` (model.py:278-287, the guided-diffusion legacy order): channels
+    are laid out per head, ``[h0:(q|k|v) | h1:(q|k|v) | ...]``.
+
+Both compute identical softmax(q k^T / sqrt(d)) v attention — the flag only
+changes how the checkpoint's qkv weight tensor is interpreted, so both must
+exist for checkpoint parity. Softmax and the logits matmul run in float32
+regardless of input dtype.
+
+Sequence lengths here are tiny (<= resolution^2/4 tokens, e.g. 1024 for the
+ImageNet models), so a single fused attention per (batch, head) fits easily
+in VMEM; the Pallas fused version lives in nicediffusion_tpu.ops.pallas.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["split_qkv", "qkv_attention"]
+
+
+def split_qkv(qkv: jax.Array, num_heads: int, split_qkv_first: bool):
+    """Split a (B, N, 3C) fused projection into q, k, v of shape (B, H, N, hc).
+
+    ``split_qkv_first`` selects the channel layout (see module docstring).
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hc = c // num_heads
+    if split_qkv_first:
+        qkv = qkv.reshape(b, n, 3, num_heads, hc)
+        q, k, v = (qkv[:, :, i] for i in range(3))  # (B, N, H, hc)
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    else:
+        qkv = qkv.reshape(b, n, num_heads, 3, hc)
+        q, k, v = (qkv[:, :, :, i] for i in range(3))
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    return q, k, v
+
+
+def qkv_attention(
+    qkv: jax.Array, num_heads: int, split_qkv_first: bool
+) -> jax.Array:
+    """softmax(q k^T * hc^-0.5) v over a (B, N, 3C) fused projection.
+
+    Returns (B, N, C). Scale matches reference model.py:245:
+    ``(channels // num_heads) ** -0.5``.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hc = c // num_heads
+    q, k, v = split_qkv(qkv, num_heads, split_qkv_first)
+
+    scale = hc**-0.5
+    logits = jnp.einsum(
+        "bhtc,bhsc->bhts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bhsc->bhtc", weights, v)
+
+    # Both layouts emit the same output order (head h occupies channels
+    # [h*hc, (h+1)*hc)) — verified against both torch branches.
+    return out.transpose(0, 2, 1, 3).reshape(b, n, c)

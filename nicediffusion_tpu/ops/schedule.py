@@ -1,0 +1,182 @@
+"""Noise schedules, IDDPM timestep respacing, and diffusion coefficient tables.
+
+TPU-native re-implementation of the schedule math in the reference
+(/root/reference/nicediffusion/diffusion.py:87-130, 445-475). All schedule
+precomputation happens **on the host in numpy float64** — exactly like the
+reference — and is only cast down to float32/bfloat16 when folded into the
+jitted sampling/training computation. This preserves numerical parity of the
+coefficient tables bit-for-bit with the PyTorch implementation while letting
+the device code read them as static constants baked into the XLA program (no
+per-step host->device copies, unlike the reference's `extract`,
+diffusion.py:478-496).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import numpy as np
+
+__all__ = [
+    "get_beta_schedule",
+    "respace_betas",
+    "DiffusionSchedule",
+]
+
+
+def get_beta_schedule(
+    schedule_method: str,
+    num_steps: int,
+    beta_0: float | None = None,
+    beta_T: float | None = None,
+) -> np.ndarray:
+    """Noise-variance (beta) schedule, float64.
+
+    Mirrors reference diffusion.py:445-475:
+      - 'linear':   np.linspace(beta_0, beta_T, num_steps)
+      - 'constant': beta_0 everywhere
+      - 'cosine':   IDDPM eq. 17 with s=0.008, clipped at 0.999
+
+    beta_0/beta_T default to the T-invariant values the reference uses
+    (diffusion.py:88-89): 0.0001*1000/T and 0.02*1000/T.
+    """
+    if beta_0 is None:
+        beta_0 = 0.0001 * 1000 / num_steps
+    if beta_T is None:
+        beta_T = 0.02 * 1000 / num_steps
+
+    if schedule_method == "linear":
+        return np.linspace(beta_0, beta_T, num_steps, dtype=np.float64)
+    elif schedule_method == "constant":
+        return beta_0 * np.ones(num_steps, dtype=np.float64)
+    elif schedule_method == "cosine":
+        # IDDPM eq. 17; f(t) = cos((t + s)/(1 + s) * pi/2)^2 with s = 0.008.
+        def f(t: float) -> float:
+            s = 0.008
+            return math.cos((t + s) / (1.0 + s) * math.pi / 2) ** 2
+
+        betas = []
+        for step in range(num_steps):
+            frac_prev = step / num_steps
+            frac = (step + 1) / num_steps
+            betas.append(min(1 - f(frac) / f(frac_prev), 0.999))
+        return np.array(betas, dtype=np.float64)
+    else:
+        raise NotImplementedError(
+            f"unimplemented variance scheduling method: {schedule_method}"
+        )
+
+
+def respace_betas(
+    betas: np.ndarray, rescaled_num_steps: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rescale an original-length beta chain to `rescaled_num_steps` steps.
+
+    IDDPM eq. 19 as implemented at reference diffusion.py:94-111: keep
+    alphas_cumprod at the strided original indices
+    ``range(T//(2S), T + T//(2S), T//S)`` and recompute betas as
+    ``1 - abar_i / abar_last``.
+
+    Returns (new_betas[S], timestep_map[S]) where timestep_map maps a rescaled
+    index to its original-chain timestep (e.g. T=1000, S=25 -> [20, 60, ..., 980]).
+    """
+    original_num_steps = len(betas)
+    alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
+    stride = original_num_steps // rescaled_num_steps
+    half = original_num_steps // (2 * rescaled_num_steps)
+    candidate = range(half, original_num_steps + half, stride)
+    # The reference iterates over all original indices and keeps members of the
+    # candidate set, so indices >= T are implicitly dropped.
+    timestep_map = np.array([i for i in candidate if i < original_num_steps])
+
+    new_betas = []
+    last_alpha_cumprod = 1.0
+    for i in timestep_map:
+        new_betas.append(1.0 - alphas_cumprod[i] / last_alpha_cumprod)
+        last_alpha_cumprod = alphas_cumprod[i]
+    new_betas = np.array(new_betas, dtype=np.float64)
+    if not ((new_betas > 0).all() and (new_betas <= 1).all()):
+        raise ValueError("betas in invalid range after respacing")
+    return new_betas, timestep_map
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    """All precomputed per-timestep coefficient tables (float64 numpy).
+
+    Field-for-field analogue of the tables built at reference
+    diffusion.py:109-130, plus the derived log-variance tables used by the
+    four sampling variance modes (diffusion.py:254-261). Arrays all have
+    length ``rescaled_num_steps`` and are indexed by the *rescaled* timestep;
+    ``timestep_map`` translates a rescaled index into the original-chain
+    timestep that the model consumes.
+    """
+
+    original_num_steps: int
+    rescaled_num_steps: int
+    betas: np.ndarray
+    timestep_map: np.ndarray
+    alphas_cumprod: np.ndarray
+    alphas_cumprod_prev: np.ndarray
+    sqrt_alphas_cumprod: np.ndarray
+    sqrt_one_minus_alphas_cumprod: np.ndarray
+    sqrt_reciprocal_alphas_cumprod: np.ndarray
+    sqrt_reciprocal_alphas_minus_one_cumprod: np.ndarray
+    posterior_mean_coef_x0: np.ndarray
+    posterior_mean_coef_xt: np.ndarray
+    posterior_variance: np.ndarray
+    log_posterior_var_clipped: np.ndarray
+    # Derived variance tables for the fixed/learned_interpolation modes.
+    log_betas: np.ndarray  # log(beta_t) - max_log for LEARNED_INTERPOLATION
+    log_var_large: np.ndarray  # VarType.LARGE (index 0 patched w/ posterior var)
+    log_var_small: np.ndarray  # VarType.SMALL (floored at 1e-20)
+
+    @classmethod
+    def create(
+        cls,
+        original_num_steps: int,
+        rescaled_num_steps: int,
+        beta_schedule: str = "linear",
+        betas: Sequence[float] | np.ndarray | None = None,
+    ) -> "DiffusionSchedule":
+        """Build the full table set. Mirrors reference diffusion.py:87-130."""
+        if betas is None:
+            betas = get_beta_schedule(beta_schedule, original_num_steps)
+        else:
+            betas = np.asarray(betas, dtype=np.float64)
+            if len(betas) != original_num_steps:
+                raise ValueError("betas must have length original_num_steps")
+
+        betas, timestep_map = respace_betas(betas, rescaled_num_steps)
+
+        alphas = 1.0 - betas
+        sqrt_alphas = np.sqrt(alphas)
+        alphas_cumprod = np.cumprod(alphas, axis=0)
+        alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+
+        posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        log_posterior_var_clipped = np.log(
+            np.append(posterior_variance[1], posterior_variance[1:])
+        )
+
+        return cls(
+            original_num_steps=original_num_steps,
+            rescaled_num_steps=len(betas),
+            betas=betas,
+            timestep_map=timestep_map,
+            alphas_cumprod=alphas_cumprod,
+            alphas_cumprod_prev=alphas_cumprod_prev,
+            sqrt_alphas_cumprod=np.sqrt(alphas_cumprod),
+            sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - alphas_cumprod),
+            sqrt_reciprocal_alphas_cumprod=np.sqrt(1.0 / alphas_cumprod),
+            sqrt_reciprocal_alphas_minus_one_cumprod=np.sqrt(1.0 / alphas_cumprod - 1),
+            posterior_mean_coef_x0=np.sqrt(alphas_cumprod_prev) * betas / (1.0 - alphas_cumprod),
+            posterior_mean_coef_xt=sqrt_alphas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod),
+            posterior_variance=posterior_variance,
+            log_posterior_var_clipped=log_posterior_var_clipped,
+            log_betas=np.log(betas),
+            log_var_large=np.log(np.append(posterior_variance[1], betas[1:])),
+            log_var_small=np.log(np.maximum(posterior_variance, 1e-20)),
+        )
