@@ -1,0 +1,137 @@
+"""Benchmark: ImageNet-64 classifier-free-guided sampling throughput on one
+TPU chip (the BASELINE.json headline metric).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+Configuration (env overrides):
+  BENCH_STEPS   sampling steps (default 250, the 250-step DDPM metric)
+  BENCH_BATCH   per-chip batch size (default 32)
+  BENCH_CFG     1 = classifier-free guidance (doubled-batch UNet), default 1
+  BENCH_DTYPE   bfloat16 (default) | float32
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is computed
+against a documented A100 torch-eager estimate: the measured per-sample FLOP
+count divided by an assumed 60 TFLOP/s effective A100 throughput for the
+reference's eager fp16/fp32 UNet loop (A100 peak 312 TFLOP/s bf16; eager
+diffusion UNets typically sustain ~15-25%). The north star is >=5x that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_EFFECTIVE_FLOPS = 60e12  # documented assumption, see module docstring
+
+
+def main():
+    steps = int(os.environ.get("BENCH_STEPS", 250))
+    batch = int(os.environ.get("BENCH_BATCH", 32))
+    use_cfg = os.environ.get("BENCH_CFG", "1") == "1"
+    dtype = (
+        jnp.float32
+        if os.environ.get("BENCH_DTYPE", "bfloat16") == "float32"
+        else jnp.bfloat16
+    )
+
+    from nicediffusion_tpu.diffusion.process import Diffusion
+    from nicediffusion_tpu.models.unet import DiffusionModel
+    from nicediffusion_tpu.utils.config import DIFFUSION_PRESETS, MODEL_PRESETS
+
+    mcfg = dict(MODEL_PRESETS["openai_64"])
+    if use_cfg:
+        mcfg["num_classes"] += 1  # null class for CFG
+    model = DiffusionModel(**mcfg, dtype=dtype)
+
+    dcfg = dict(DIFFUSION_PRESETS["openai_64"])
+    dcfg.update(
+        rescaled_num_steps=steps,
+        use_ddim=False,
+        ddim_eta=0.0,
+        guidance_method="classifier_free" if use_cfg else None,
+        guidance_strength=0.8 if use_cfg else None,
+    )
+    diffusion = Diffusion(model=model, **dcfg)
+
+    rng = jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            rng,
+            jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        )
+    )["params"]
+    # random-ish small weights, deterministic and cheap to materialise
+    params = jax.tree.map(
+        lambda s: (jnp.arange(np.prod(s.shape), dtype=jnp.float32) % 97 / 9700.0
+                   ).reshape(s.shape).astype(s.dtype),
+        shapes,
+    )
+    y = jnp.arange(batch, dtype=jnp.int32) % 1000
+
+    # warm-up / compile
+    out = diffusion.denoise(params, rng, y=y, batch_size=batch)
+    out.block_until_ready()
+
+    # timed runs
+    runs = int(os.environ.get("BENCH_RUNS", 3))
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = diffusion.denoise(
+            params, jax.random.fold_in(rng, i), y=y, batch_size=batch
+        )
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / runs
+
+    samples_per_sec = batch / elapsed
+
+    # per-sample FLOPs for the baseline estimate: cost of one UNet forward
+    def one_fwd(p, x, t, yy):
+        return model.apply({"params": p}, x, t, yy)
+
+    x1 = jnp.zeros((1, 64, 64, 3), dtype=dtype)
+    try:
+        analysis = (
+            jax.jit(one_fwd)
+            .lower(params, x1, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+            .compile()
+            .cost_analysis()
+        )
+        fwd_flops = float(analysis.get("flops", 0.0))
+    except Exception:
+        fwd_flops = 0.0
+    calls_per_step = 2 if use_cfg else 1
+    flops_per_sample = fwd_flops * steps * calls_per_step
+    ref_samples_per_sec = (
+        A100_EFFECTIVE_FLOPS / flops_per_sample if flops_per_sample else None
+    )
+    vs_baseline = (
+        samples_per_sec / ref_samples_per_sec if ref_samples_per_sec else 1.0
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"imagenet64_ddpm{steps}"
+                    + ("_cfg" if use_cfg else "")
+                    + "_samples_per_sec_per_chip"
+                ),
+                "value": round(samples_per_sec, 4),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -139,7 +139,9 @@ class ResidualBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, emb, *, deterministic: bool = True):
+    def __call__(self, x, emb, deterministic: bool = True):
+        # `deterministic` is positional (not kw-only) so nn.remat can mark it
+        # static (jax.checkpoint static_argnums only covers positional args)
         in_ch = x.shape[-1]
         out_ch = self.out_channels if self.out_channels is not None else in_ch
 
@@ -212,6 +214,11 @@ class AttentionBlock(nn.Module):
         return x + h.reshape(b, hh, ww, c)
 
 
+def _is_res_block(layer) -> bool:
+    # nn.remat(ResidualBlock) produces a subclass, so isinstance covers both
+    return isinstance(layer, ResidualBlock)
+
+
 class StepSequential(nn.Module):
     """Sequential that passes the step embedding to step-aware children.
 
@@ -221,10 +228,10 @@ class StepSequential(nn.Module):
 
     layers: Sequence[nn.Module]
 
-    def __call__(self, x, emb, *, deterministic: bool = True):
+    def __call__(self, x, emb, deterministic: bool = True):
         for layer in self.layers:
-            if isinstance(layer, ResidualBlock):
-                x = layer(x, emb, deterministic=deterministic)
+            if _is_res_block(layer):
+                x = layer(x, emb, deterministic)
             else:
                 x = layer(x)
         return x
@@ -294,7 +301,12 @@ class DiffusionModel(nn.Module):
     def setup(self):
         step_embed_dim = 4 * self.model_channels
         dtype = self.dtype
-        res_block = nn.remat(ResidualBlock) if self.use_remat else ResidualBlock
+        # static_argnums=(3,) marks `deterministic` ((self, x, emb, det)) as
+        # a static python bool for jax.checkpoint
+        res_block = (
+            nn.remat(ResidualBlock, static_argnums=(3,))
+            if self.use_remat else ResidualBlock
+        )
         attn_block = nn.remat(AttentionBlock) if self.use_remat else AttentionBlock
 
         self.step_embed = EmbedMLP(step_embed_dim, dtype=dtype)

@@ -1,0 +1,195 @@
+"""Command-line interface: argparser and argument routing.
+
+Flag-for-flag mirror of the reference CLI (reference utils.py:12-143
+`make_argparser` and utils.py:146-214 `get_dicts_from_args`): one parser
+shared by the sampling and training programs, four argument groups, default
+preset dispatch by model-path substring, '/'-separated list parsing, and the
+out_channels / num_classes derivation rules (via utils/config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .config import apply_derivations, preset_for_path
+
+__all__ = ["make_argparser", "get_dicts_from_args"]
+
+
+def make_argparser(prog: str) -> argparse.ArgumentParser:
+    """Build the parser for 'diff_sample' or 'diff_train'
+    (reference utils.py:12-143)."""
+    if prog == "diff_sample":
+        description = "Sample images generated from Diffusion Model."
+        is_sample = True
+    elif prog == "diff_train":
+        description = "Train Diffusion Model."
+        is_sample = False
+    else:
+        raise NotImplementedError(prog)
+    o, r = "(optional)", "(required)"
+    parser = argparse.ArgumentParser(prog=prog, description=description)
+
+    if is_sample:
+        g = parser.add_argument_group(
+            "sampling arguments", "arguments for sampling process"
+        )
+        g.add_argument("--model_path", type=str, required=True, metavar=r,
+                       help="relative file path of model state dict")
+        g.add_argument("-c", "--custom", action="store_true", default=False,
+                       help="whether to use a custom model/diffusion configuration")
+        g.add_argument("--batch_size", type=int, required=True, metavar=r,
+                       help="number of images per batch")
+        g.add_argument("--num_samples", type=int, required=True, metavar=r,
+                       help="number of batches to sample. total images is "
+                            "num_samples * batch_size")
+        g.add_argument("--upsample", action="store_true", default=False,
+                       help="add to use Real-ESRGAN 4x superresolution")
+        g.add_argument("--wordy", "-w", dest="wordy", action="store_true",
+                       default=False, help="add this to print status")
+        g.add_argument("--save_path", type=str, default=None, metavar=o,
+                       help="relative file path to save generated images; "
+                            "if not provided they are displayed instead")
+        g.add_argument("--labels", type=str, default="", metavar=o,
+                       help="'/'-separated labels split among samples")
+        g.add_argument("--start_img", type=str, default=None, metavar=o,
+                       help="image to start denoising with")
+        g.add_argument("--steps_to_do", type=int, default=None, metavar=o,
+                       help="number of original-chain noise steps to apply to "
+                            "start_img then remove by denoising")
+        g.add_argument("--seed", type=int, default=None, metavar=o,
+                       help="rng seed for reproducibility")
+        g.add_argument("--cpu", action="store_true", default=False,
+                       help="force CPU instead of auto-detecting TPU")
+    else:
+        g = parser.add_argument_group(
+            "training arguments", "arguments for training process"
+        )
+        g.add_argument("--batch_size", type=int, required=True, metavar=r)
+        g.add_argument("--lr", type=float, required=True, metavar=r)
+        g.add_argument("--weight_decay", type=float, required=True, metavar=r)
+        g.add_argument("--iterations", type=int, required=True, metavar=r)
+        g.add_argument("--resume_step", type=int, default=0, metavar=o)
+        g.add_argument("--wordy", "-w", dest="wordy", action="store_true",
+                       default=False)
+        g.add_argument("--save_every", type=int, default=None, metavar=o)
+        g.add_argument("--sample_every", type=int, default=None, metavar=o)
+        g.add_argument("--ema_rate", type=float, default=0.9999, metavar=o)
+        g.add_argument("--use_fp16", action="store_true", default=False,
+                       help="train with bfloat16 compute (TPU-native mixed "
+                            "precision; the reference parsed this flag but "
+                            "never consumed it, utils.py:83-84)")
+        g.add_argument("--grad_accumulation", type=int, default=1, metavar=o)
+        g.add_argument("--seed", type=int, default=None, metavar=o)
+
+    m = parser.add_argument_group(
+        "model arguments", "arguments to create DiffusionModel"
+    )
+    req = not is_sample
+    mv = r if req else o
+    m.add_argument("--resolution", type=int, required=req, metavar=mv, default=None)
+    m.add_argument("--model_channels", type=int, required=req, metavar=mv, default=None)
+    m.add_argument("--channel_mult", type=str, required=req, metavar=mv, default=None,
+                   help="'/'-separated channel multipliers")
+    m.add_argument("--num_res_blocks", type=int, required=req, metavar=mv, default=None)
+    m.add_argument("--attention_resolutions", type=str, required=req, metavar=mv,
+                   default=None, help="'/'-separated resolutions")
+    m.add_argument("--num_classes", type=int, default=None, metavar=o)
+    m.add_argument("--dropout", type=float, required=req, default=0.0, metavar=mv)
+    m.add_argument("--in_channels", type=int, default=3, metavar=o)
+    m.add_argument("--num_heads", type=int, default=4, metavar=o)
+    m.add_argument("--num_head_channels", type=int, default=None, metavar=o)
+    m.add_argument("--split_qkv_first", action="store_true", default=False)
+    m.add_argument("--resblock_updown", action="store_true", default=False)
+    m.add_argument("--use_adaptive_gn", action="store_true", default=False)
+
+    d = parser.add_argument_group(
+        "diffusion arguments", "arguments for the diffusion/denoising process"
+    )
+    d.add_argument("--rescaled_num_steps", type=int, required=req, metavar=mv,
+                   default=None)
+    d.add_argument("--beta_schedule", type=str, required=req, metavar=mv,
+                   default=None, help="'linear', 'cosine', or 'constant'")
+    d.add_argument("--sampling_var_type", type=str, required=req, metavar=mv,
+                   default=None,
+                   help="'small', 'large', 'learned', or 'learned_interpolation'")
+    d.add_argument("--use_ddim", action="store_true", default=False)
+    d.add_argument("--ddim_eta", type=float, default=0.0, metavar=o)
+    d.add_argument("--original_num_steps", type=int, default=1000, metavar=o)
+    d.add_argument("--loss_type", type=str, required=req, default="hybrid",
+                   metavar=o if is_sample else r,
+                   help="'simple', 'KL', 'KL_rescaled', or 'hybrid'")
+    d.add_argument("--guidance_method", type=str, default=None, metavar=o,
+                   help="'classifier' or 'classifier_free'")
+    d.add_argument("--guidance_strength", type=float, default=None, metavar=o)
+    d.add_argument("--classifier_path", type=str, default=None, metavar=o)
+    return parser
+
+
+_MODEL_KEYS = [
+    "resolution", "attention_resolutions", "channel_mult", "num_res_blocks",
+    "model_channels", "num_heads", "num_head_channels", "in_channels",
+    "out_channels", "split_qkv_first", "dropout", "resblock_updown",
+    "use_adaptive_gn", "num_classes",
+]
+_DIFF_KEYS = [
+    "rescaled_num_steps", "original_num_steps", "use_ddim", "ddim_eta",
+    "beta_schedule", "sampling_var_type", "classifier", "guidance_method",
+    "guidance_strength", "loss_type",
+]
+
+
+def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
+    """Route parsed args into (other, model, diffusion) dicts and apply the
+    preset dispatch + derivation rules (reference utils.py:146-214)."""
+    args = vars(args)
+    model_args, diff_args, other_args = {}, {}, {}
+    for key, val in args.items():
+        if key in _MODEL_KEYS:
+            model_args[key] = val
+        elif key in _DIFF_KEYS:
+            diff_args[key] = val
+        else:
+            other_args[key] = val
+
+    assert (
+        diff_args["guidance_method"] is None
+        or model_args["num_classes"] is not None
+    ), "use guidance only for conditional models"
+    assert (diff_args["guidance_method"] == "classifier") == (
+        other_args.get("classifier_path") is not None
+    )
+    if other_args.get("classifier_path") is not None:
+        raise NotImplementedError(
+            "noisy-classifier checkpoints are not yet supported"
+        )
+
+    if "custom" in other_args:  # sampling mode
+        if other_args["custom"]:
+            required = [
+                model_args["resolution"], model_args["model_channels"],
+                model_args["channel_mult"], model_args["num_res_blocks"],
+                model_args["attention_resolutions"],
+                diff_args["rescaled_num_steps"],
+                diff_args["sampling_var_type"], diff_args["beta_schedule"],
+            ]
+            if not all(required):
+                raise ValueError(
+                    "if the model is custom, all configuration flags must be "
+                    "specified"
+                )
+        else:
+            m, d = preset_for_path(other_args["model_path"])
+            model_args.update(m)
+            diff_args.update(d)
+            if other_args.get("labels"):
+                other_args["labels"] = [
+                    int(i) for i in other_args["labels"].split("/")
+                ]
+            return other_args, model_args, diff_args
+
+    if other_args.get("labels"):
+        other_args["labels"] = [int(i) for i in other_args["labels"].split("/")]
+
+    apply_derivations(model_args, diff_args)
+    return other_args, model_args, diff_args

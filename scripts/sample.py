@@ -1,0 +1,207 @@
+"""Sampling CLI — the main user entry point.
+
+Behavioural mirror of the reference script (/root/reference/scripts/sample.py):
+same flags (nicediffusion_tpu/utils/cli.py), default-preset dispatch by
+model-path substring, start-image partial denoising, label handling,
+grayscale inversion, optional Real-ESRGAN 4x upsampling stage, display or
+per-class-counter save naming. TPU-native differences: the whole denoising
+chain runs as one jitted scan (no per-step host sync), batches are NHWC, and
+checkpoints may be torch .pt (converted on load), .npz, or orbax dirs.
+
+Usage:
+  python scripts/sample.py --model_path 64x64_diffusion.pt --batch_size 8 \
+      --num_samples 2 [--labels 3/7] [--save_path out/] [--upsample] [-w]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    # argv re-split (reference sample.py:18-21 accepts space-joined args)
+    argv = []
+    for chunk in sys.argv[1:]:
+        argv.extend(chunk.split(" ")) if " " in chunk else argv.append(chunk)
+    sys.argv = [sys.argv[0]] + argv
+
+    from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
+
+    parser = make_argparser("diff_sample")
+    args = parser.parse_args()
+    other_args, model_args, diff_args = get_dicts_from_args(args)
+
+    import jax
+
+    if other_args["cpu"]:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from nicediffusion_tpu.diffusion.process import Diffusion
+    from nicediffusion_tpu.models.unet import DiffusionModel
+    from nicediffusion_tpu.utils.checkpoint import load_params
+    from nicediffusion_tpu.utils.image import (
+        grayscale_to_rgb,
+        load_start_image,
+        save_image,
+        to_uint8,
+    )
+
+    rng = jax.random.PRNGKey(
+        other_args["seed"] if other_args["seed"] is not None else 0
+    )
+    WORDY = other_args["wordy"]
+    NUM_SAMPLES = other_args["num_samples"]
+    BATCH_SIZE = other_args["batch_size"]
+    UPSAMPLE = other_args["upsample"]
+    START_IMG, STEPS_TO_DO = other_args["start_img"], other_args["steps_to_do"]
+    LABELS = other_args["labels"]
+    CONDITIONAL = model_args["num_classes"] is not None
+    SAVE_PATH = other_args["save_path"]
+
+    model = DiffusionModel(**model_args)
+    params = load_params(other_args["model_path"])
+    params = jax.tree.map(jnp.asarray, params)
+
+    if WORDY:
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        print(
+            f"Model made from {other_args['model_path']} with "
+            f"{n_params} parameters! :)"
+        )
+        print(
+            f"Starting Diffusion! There are {NUM_SAMPLES} samples of "
+            f"{BATCH_SIZE} images each"
+        )
+
+    diffusion = Diffusion(model=model, **diff_args)
+
+    start_batch = None
+    if START_IMG is not None and STEPS_TO_DO is not None:
+        img = load_start_image(START_IMG, model_args["resolution"])
+        if model_args["in_channels"] == 1:
+            img = img.mean(axis=-1, keepdims=True)
+        start_batch = jnp.asarray(
+            np.repeat(img[None], BATCH_SIZE, axis=0), dtype=jnp.float32
+        )
+
+    if CONDITIONAL and LABELS:
+        assert len(LABELS) == NUM_SAMPLES, (
+            f"please provide NUM_SAMPLES={NUM_SAMPLES} labels"
+        )
+
+    samples = []
+    for i_sample in range(NUM_SAMPLES):
+        rng, data_rng, label_rng, denoise_rng = jax.random.split(rng, 4)
+        if start_batch is None:
+            data = jax.random.normal(
+                data_rng,
+                (BATCH_SIZE, model_args["resolution"], model_args["resolution"],
+                 model_args["in_channels"]),
+                dtype=jnp.float32,
+            )
+            steps = diff_args["rescaled_num_steps"]
+            denoise_input = data
+        else:
+            # original-chain steps -> rescaled steps (reference sample.py:77)
+            steps = (
+                STEPS_TO_DO
+                * diff_args["rescaled_num_steps"]
+                // diff_args["original_num_steps"]
+            )
+            denoise_input = diffusion.diffuse(
+                start_batch, rng=data_rng, steps_to_do=steps
+            )
+            data = denoise_input
+
+        if CONDITIONAL:
+            if not LABELS:
+                labels = jax.random.randint(
+                    label_rng, (BATCH_SIZE,), 0, model_args["num_classes"]
+                )
+            else:
+                labels = jnp.full((BATCH_SIZE,), LABELS[i_sample], dtype=jnp.int32)
+        else:
+            labels = None
+
+        if WORDY:
+            print(f"Denoising sample {i_sample + 1}! :)")
+        out = diffusion.denoise(
+            params,
+            denoise_rng,
+            x=denoise_input,
+            y=labels,
+            start_step=steps if start_batch is not None else None,
+            steps_to_do=steps,
+            progress=WORDY,
+        )
+
+        out = to_uint8(np.asarray(out))
+        shown_input = to_uint8(
+            np.asarray(start_batch if start_batch is not None else data)
+        )
+        if model_args["in_channels"] == 1:
+            out = grayscale_to_rgb(out)
+            shown_input = grayscale_to_rgb(shown_input)
+        samples.append(
+            (shown_input, out, np.asarray(labels) if labels is not None else None)
+        )
+
+    if WORDY:
+        what = "Displaying" if SAVE_PATH is None else f"Saving to '{SAVE_PATH}'"
+        print(f"{what} {NUM_SAMPLES * BATCH_SIZE} generated images!")
+
+    if UPSAMPLE:
+        from nicediffusion_tpu.models.rrdb import esrgan_upsample_batches
+
+        if WORDY:
+            r4 = model_args["resolution"] * 4
+            print(f"Upsampling to {r4}x{r4} resolution!")
+        samples = esrgan_upsample_batches(samples)
+
+    if SAVE_PATH is None:  # display
+        import matplotlib.pyplot as plt
+
+        for data, out, labels in samples:
+            for b in range(BATCH_SIZE):
+                plt.close("all")
+                fig = plt.figure(figsize=(7, 3))
+                fig.add_subplot(1, 2, 1)
+                plt.imshow(data[b])
+                plt.title("Denoising Input")
+                fig.add_subplot(1, 2, 2)
+                plt.imshow(out[b])
+                plt.title(
+                    f"Output Image, Label={labels[b]}"
+                    if labels is not None
+                    else "Output Image"
+                )
+                plt.pause(0.001)
+                plt.waitforbuttonpress()
+    else:  # save with per-class counters (reference sample.py:161-180)
+        if CONDITIONAL:
+            counts = np.zeros((model_args["num_classes"],), dtype=int)
+        else:
+            counts = 0
+        for _, out, labels in samples:
+            if model_args["in_channels"] == 1:
+                out = (255 - out[..., :1])  # back to 1-channel
+            for b in range(BATCH_SIZE):
+                if labels is not None:
+                    label = int(labels[b])
+                    filename = f"{label}_sample{counts[label]}.jpg"
+                    counts[label] += 1
+                else:
+                    filename = f"sample{counts}.jpg"
+                    counts += 1
+                save_image(out[b], SAVE_PATH + filename)
+
+    if WORDY:
+        print("Done! have a nice day")
+
+
+if __name__ == "__main__":
+    main()

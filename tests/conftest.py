@@ -32,6 +32,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng_np():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of execution order
     return np.random.default_rng(0)

@@ -1,0 +1,125 @@
+"""CLI golden tests (SURVEY.md §4.8): flag parsing and argument routing
+compared directly against the reference's make_argparser/get_dicts_from_args
+on identical argv."""
+
+import pytest
+
+from nicediffusion.utils import (
+    get_dicts_from_args as ref_get_dicts,
+    make_argparser as ref_make_argparser,
+)
+
+from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
+
+
+def _both(prog, argv):
+    ours = get_dicts_from_args(make_argparser(prog).parse_args(argv))
+    theirs = ref_get_dicts(ref_make_argparser(prog).parse_args(argv))
+    return ours, theirs
+
+
+@pytest.mark.parametrize(
+    "path,key_res",
+    [
+        ("models/EMNIST_model_params.pt", 28),
+        ("64x64_diffusion.pt", 64),
+        ("weights/128x128_foo.pt", 128),
+        ("256x256_diffusion_uncond.pt", 256),
+    ],
+)
+def test_preset_dispatch_matches_reference(path, key_res):
+    argv = ["--model_path", path, "--batch_size", "4", "--num_samples", "2"]
+    (o, m, d), (ro, rm, rd) = _both("diff_sample", argv)
+    assert m == {k: rm[k] for k in m if k in rm} or m == rm
+    assert m["resolution"] == key_res == rm["resolution"]
+    assert d == rd
+    assert o["batch_size"] == ro["batch_size"] == 4
+
+
+def test_label_splitting_matches_reference():
+    argv = [
+        "--model_path", "EMNIST_x.pt", "--batch_size", "2",
+        "--num_samples", "3", "--labels", "1/13/26",
+    ]
+    (o, _, _), (ro, _, _) = _both("diff_sample", argv)
+    assert o["labels"] == ro["labels"] == [1, 13, 26]
+
+
+def test_custom_config_derivations_match_reference():
+    argv = [
+        "--model_path", "whatever.npz", "--custom", "--batch_size", "2",
+        "--num_samples", "1", "--resolution", "32", "--model_channels", "64",
+        "--channel_mult", "1/2/4", "--num_res_blocks", "2",
+        "--attention_resolutions", "8/16", "--num_classes", "10",
+        "--rescaled_num_steps", "25", "--beta_schedule", "cosine",
+        "--sampling_var_type", "learned_interpolation",
+        "--guidance_method", "classifier_free", "--guidance_strength", "0.5",
+    ]
+    (o, m, d), (ro, rm, rd) = _both("diff_sample", argv)
+    # out_channels doubles iff learned variance (reference utils.py:205-208)
+    assert m["out_channels"] == rm["out_channels"] == 6
+    # num_classes += 1 iff classifier_free (reference utils.py:211-212)
+    assert m["num_classes"] == rm["num_classes"] == 11
+    assert m["channel_mult"] == tuple(rm["channel_mult"])
+    assert m["attention_resolutions"] == tuple(rm["attention_resolutions"])
+    assert d == rd
+
+
+def test_custom_fixed_variance_keeps_out_channels():
+    argv = [
+        "--model_path", "w.npz", "--custom", "--batch_size", "1",
+        "--num_samples", "1", "--resolution", "32", "--model_channels", "64",
+        "--channel_mult", "1/2", "--num_res_blocks", "1",
+        "--attention_resolutions", "8", "--rescaled_num_steps", "10",
+        "--beta_schedule", "linear", "--sampling_var_type", "small",
+    ]
+    _, m, _ = get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
+    assert m["out_channels"] == m["in_channels"] == 3
+
+
+def test_guidance_requires_conditional():
+    argv = [
+        "--model_path", "w.npz", "--custom", "--batch_size", "1",
+        "--num_samples", "1", "--resolution", "32", "--model_channels", "64",
+        "--channel_mult", "1/2", "--num_res_blocks", "1",
+        "--attention_resolutions", "8", "--rescaled_num_steps", "10",
+        "--beta_schedule", "linear", "--sampling_var_type", "small",
+        "--guidance_method", "classifier_free",
+    ]
+    with pytest.raises(AssertionError):
+        get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
+
+
+def test_classifier_path_unimplemented_like_reference():
+    argv = [
+        "--model_path", "EMNIST.pt", "--batch_size", "1", "--num_samples", "1",
+        "--num_classes", "27",
+        "--guidance_method", "classifier", "--classifier_path", "clf.pt",
+    ]
+    with pytest.raises(NotImplementedError):
+        get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
+    with pytest.raises(NotImplementedError):
+        ref_get_dicts(ref_make_argparser("diff_sample").parse_args(argv))
+
+
+def test_training_parser_flags():
+    argv = [
+        "--batch_size", "16", "--lr", "1e-4", "--weight_decay", "1e-3",
+        "--iterations", "100", "--resolution", "28", "--model_channels", "64",
+        "--channel_mult", "1/2/4", "--num_res_blocks", "2",
+        "--attention_resolutions", "7/14", "--dropout", "0.05",
+        "--rescaled_num_steps", "1000", "--beta_schedule", "cosine",
+        "--sampling_var_type", "learned_interpolation", "--loss_type", "hybrid",
+        "--ema_rate", "0.999", "--grad_accumulation", "2",
+    ]
+    (o, m, d), (ro, rm, rd) = _both("diff_train", argv)
+    assert o["ema_rate"] == ro["ema_rate"] == 0.999
+    assert o["grad_accumulation"] == ro["grad_accumulation"] == 2
+    assert m["out_channels"] == rm["out_channels"] == 6
+    assert d["loss_type"] == rd["loss_type"] == "hybrid"
+
+
+def test_unknown_model_path_raises():
+    argv = ["--model_path", "mystery.pt", "--batch_size", "1", "--num_samples", "1"]
+    with pytest.raises(NotImplementedError):
+        get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
