@@ -1,0 +1,1 @@
+from . import checkpoint, cli, config, convert, image, profiling  # noqa: F401

@@ -33,6 +33,7 @@ __all__ = [
     "convert_torch_state_dict",
     "load_torch_checkpoint",
     "flax_params_to_torch_state_dict",
+    "export_torch_checkpoint",
 ]
 
 # Containers whose integer-indexed torch children become flax ``layers_{j}``
@@ -146,6 +147,19 @@ def load_torch_checkpoint(path: str) -> dict:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return convert_torch_state_dict(sd)
+
+
+def export_torch_checkpoint(params: dict, path: str) -> None:
+    """Write a flax params pytree as a torch ``.pt`` state dict loadable by
+    the reference with ``strict=True`` (reference sample.py:43) — full
+    round-trip interop in both directions."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in flax_params_to_torch_state_dict(params).items()
+    }
+    torch.save(sd, path)
 
 
 def flax_params_to_torch_state_dict(params: dict) -> dict:

@@ -218,6 +218,41 @@ def test_param_counts_match_reference_configs():
         assert n == want, f"{name}: {n} != {want}"
 
 
+def test_export_torch_checkpoint_loads_strict(tmp_path):
+    """Params exported with export_torch_checkpoint load into the torch
+    reference with strict=True (full both-direction interop)."""
+    import jax.numpy as jnp
+
+    from nicediffusion_tpu.models.unet import DiffusionModel
+    from nicediffusion_tpu.utils.convert import export_torch_checkpoint
+
+    cfg = EMNIST_LIKE
+    model = DiffusionModel(**cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg["resolution"], cfg["resolution"], cfg["in_channels"])),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    path = str(tmp_path / "exported.pt")
+    export_torch_checkpoint(params, path)
+
+    tmodel = TorchDiffusionModel(**cfg)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    tmodel.load_state_dict(sd, strict=True)
+
+    # and the loaded torch model matches the flax model numerically
+    x = torch.zeros(1, cfg["in_channels"], cfg["resolution"], cfg["resolution"])
+    t = torch.tensor([11])
+    y = torch.tensor([2])
+    with torch.no_grad():
+        ref = tmodel.eval()(x, t, y).numpy()
+    out = model.apply(
+        {"params": params}, _to_nhwc(x), jnp.asarray(t.numpy()), jnp.asarray(y.numpy())
+    )
+    np.testing.assert_allclose(_from_nhwc(out), ref, atol=2e-5)
+
+
 def test_round_trip_conversion():
     """flax -> torch -> flax state-dict conversion is lossless."""
     cfg = UNCOND_INTERP
