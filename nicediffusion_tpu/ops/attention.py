@@ -20,6 +20,8 @@ in VMEM; the Pallas fused version lives in nicediffusion_tpu.ops.pallas.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -45,19 +47,44 @@ def split_qkv(qkv: jax.Array, num_heads: int, split_qkv_first: bool):
     return q, k, v
 
 
+def _pallas_enabled() -> bool:
+    """Use the fused Pallas kernel on TPU unless explicitly disabled."""
+    if os.environ.get("NICEDIFFUSION_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def qkv_attention(
-    qkv: jax.Array, num_heads: int, split_qkv_first: bool
+    qkv: jax.Array,
+    num_heads: int,
+    split_qkv_first: bool,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """softmax(q k^T * hc^-0.5) v over a (B, N, 3C) fused projection.
 
     Returns (B, N, C). Scale matches reference model.py:245:
-    ``(channels // num_heads) ** -0.5``.
+    ``(channels // num_heads) ** -0.5``. On TPU this dispatches to the fused
+    Pallas kernel (ops/pallas/attention.py) — ablation shows the XLA einsum
+    path spends ~half the UNet forward in the HBM round-trips of the (N, N)
+    logits; the kernel keeps them in VMEM. `use_pallas=None` auto-detects.
     """
     b, n, c3 = qkv.shape
     c = c3 // 3
     hc = c // num_heads
-    q, k, v = split_qkv(qkv, num_heads, split_qkv_first)
 
+    if use_pallas is None:
+        use_pallas = _pallas_enabled()
+    if use_pallas:
+        from .pallas.attention import mha_attention_fused_qkv
+
+        return mha_attention_fused_qkv(
+            qkv, num_heads, split_qkv_first
+        ).astype(qkv.dtype)
+
+    q, k, v = split_qkv(qkv, num_heads, split_qkv_first)
     scale = hc**-0.5
     logits = jnp.einsum(
         "bhtc,bhsc->bhts", q, k, preferred_element_type=jnp.float32
@@ -67,4 +94,4 @@ def qkv_attention(
 
     # Both layouts emit the same output order (head h occupies channels
     # [h*hc, (h+1)*hc)) — verified against both torch branches.
-    return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(qkv.dtype)

@@ -1,0 +1,200 @@
+"""Fused multi-head QKV self-attention as a Pallas TPU kernel.
+
+The UNet's attention operates on flattened image tokens with short sequences
+(N = 64..1024 for the reference model family — SURVEY.md §5.7) but runs at
+2x-batch under CFG and ~21 layers deep, and ablation shows the XLA einsum
+path spends ~half the forward pass here: the (B*H, N, N) float32 logits
+round-trip through HBM between the QK matmul, softmax, and the PV matmul.
+
+This kernel keeps the whole (N, N) logits tile resident in VMEM — at N=1024
+that is 4 MB f32, well inside a v5e core's VMEM — so each (batch, head) does
+exactly one HBM read of q/k/v and one write of the output. No streaming/
+online-softmax machinery is needed at these sequence lengths; this is a
+single-block flash kernel (softmax in f32, matmuls on the MXU with
+preferred_element_type=f32).
+
+Grid: (batch, heads). The q/k/v operands arrive pre-split in a (B, H, N, D)
+layout produced by the caller (ops/attention.py handles the two checkpoint
+qkv layouts — SURVEY.md model.py:266-287 — before the kernel, so one kernel
+serves both orders). Head dims D are 64..128 for all presets; N and D are
+padded to lane/sublane multiples by the caller when needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mha_attention", "mha_attention_fused_qkv"]
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    # block shapes: (1, 1, N, D) for one (batch, head) program
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (N, N) f32, resident in VMEM
+
+    n_total = logits.shape[-1]
+    if n_valid != n_total:
+        # mask key padding so softmax ignores it (finite sentinel: padded
+        # *query* rows would turn all -inf into NaN)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_valid, logits, -1e30)
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fused_kernel(
+    qkv_ref, o_ref, *, scale: float, n_valid: int, num_heads: int,
+    split_qkv_first: bool,
+):
+    """One batch element: all heads, sliced statically from the (N, 3C)
+    block. Static per-head channel offsets cover both checkpoint layouts."""
+    qkv = qkv_ref[0]
+    n, c3 = qkv.shape
+    c = c3 // 3
+    hc = c // num_heads
+    for head in range(num_heads):
+        if split_qkv_first:
+            q = qkv[:, head * hc : (head + 1) * hc]
+            k = qkv[:, c + head * hc : c + (head + 1) * hc]
+            v = qkv[:, 2 * c + head * hc : 2 * c + (head + 1) * hc]
+        else:
+            base = head * 3 * hc
+            q = qkv[:, base : base + hc]
+            k = qkv[:, base + hc : base + 2 * hc]
+            v = qkv[:, base + 2 * hc : base + 3 * hc]
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if n_valid != n:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < n_valid, logits, -1e30)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, head * hc : (head + 1) * hc] = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "split_qkv_first", "interpret")
+)
+def mha_attention_fused_qkv(
+    qkv, num_heads: int, split_qkv_first: bool, *, interpret: bool = False
+):
+    """Attention directly on the fused (B, N, 3C) qkv projection -> (B, N, C).
+
+    Zero transposes: each batch element's program DMAs the projection block
+    in its native layout, statically slices every head's q/k/v channels
+    (covering both checkpoint layouts — reference model.py:266-287), and
+    writes the (B, N, C) head-contiguous layout the out-projection consumes.
+    Head loop is python-unrolled (<= 12 heads for all presets); Mosaic block
+    shapes stay full-width on the lane dimension, so no 128-divisibility
+    constraints on the head dim.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hc = c // num_heads
+    scale = hc**-0.5
+
+    n_pad = (-n) % 8
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, n_pad), (0, 0))) if n_pad else qkv
+    np_ = n + n_pad
+
+    kernel = functools.partial(
+        _fused_kernel, scale=scale, n_valid=n, num_heads=num_heads,
+        split_qkv_first=split_qkv_first,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, np_, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, np_, c), qkv.dtype),
+        # batch programs are independent -> Mosaic double-buffers the DMAs
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(qkv_p)
+    return out[:, :n, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mha_attention(q, k, v, *, interpret: bool = False):
+    """softmax(q k^T / sqrt(D)) v for (B, H, N, D) inputs -> (B, H, N, D).
+
+    Scale matches the reference (channels//heads)^-0.5 (model.py:245).
+    Pads N to a sublane multiple and D to the 128-lane width, masking padded
+    keys inside the kernel.
+    """
+    b, h, n, d = q.shape
+    scale = d**-0.5
+
+    qp = _pad_to(_pad_to(q, 2, 8), 3, 128)
+    kp = _pad_to(_pad_to(k, 2, 8), 3, 128)
+    vp = _pad_to(_pad_to(v, 2, 8), 3, 128)
+    np_, dp = qp.shape[2], qp.shape[3]
+
+    kernel = functools.partial(_attn_kernel, scale=scale, n_valid=n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, np_, dp), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, np_, dp), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, np_, dp), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, np_, dp), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, np_, dp), q.dtype),
+        # both grid axes are independent (batch, head) -> lets Mosaic
+        # double-buffer the q/k/v DMAs across grid steps (measured ~5x)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :n, :d]

@@ -1,0 +1,87 @@
+"""Correctness tests for the Pallas TPU kernels, run in interpreter mode on
+CPU against the reference einsum implementations (SURVEY.md §7 step 8:
+kernels swap in only under parity tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nicediffusion_tpu.ops.attention import qkv_attention, split_qkv
+from nicediffusion_tpu.ops.pallas.attention import (
+    mha_attention,
+    mha_attention_fused_qkv,
+)
+
+
+@pytest.mark.parametrize("n,d,h", [(64, 64, 4), (49, 16, 2), (256, 64, 6)])
+def test_pallas_attention_matches_einsum(rng_np, n, d, h):
+    """Fused kernel (interpret mode) == plain einsum attention, including
+    non-aligned N (padding mask path) and small head dims."""
+    b = 2
+    q, k, v = (
+        jnp.asarray(rng_np.normal(size=(b, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = mha_attention(q, k, v, interpret=True)
+
+    scale = d**-0.5
+    logits = jnp.einsum("bhtc,bhsc->bhts", q, k) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhts,bhsc->bhtc", w, v)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("split_first", [True, False])
+def test_qkv_attention_pallas_path_matches_einsum_path(rng_np, split_first):
+    """The full op (split + kernel + merge) agrees across backends for both
+    checkpoint qkv layouts."""
+    b, n, c, heads = 2, 49, 64, 4
+    qkv = jnp.asarray(rng_np.normal(size=(b, n, 3 * c)).astype(np.float32))
+
+    ref = qkv_attention(qkv, heads, split_first, use_pallas=False)
+
+    # pallas path, interpret mode: bypass the dispatch and call directly
+    q, k, v = split_qkv(qkv, heads, split_first)
+    out = mha_attention(q, k, v, interpret=True)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("split_first", [True, False])
+@pytest.mark.parametrize("n,c,heads", [(64, 128, 4), (49, 128, 4), (256, 96, 3)])
+def test_fused_qkv_kernel_matches_einsum_path(rng_np, split_first, n, c, heads):
+    """The zero-transpose fused-layout kernel == the einsum path for both
+    checkpoint layouts, aligned and unaligned N, non-128 head dims."""
+    b = 2
+    qkv = jnp.asarray(rng_np.normal(size=(b, n, 3 * c)).astype(np.float32))
+    ref = qkv_attention(qkv, heads, split_first, use_pallas=False)
+    out = mha_attention_fused_qkv(qkv, heads, split_first, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_attention_bf16(rng_np):
+    b, h, n, d = 2, 2, 64, 64
+    q, k, v = (
+        jnp.asarray(rng_np.normal(size=(b, h, n, d)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        for _ in range(3)
+    )
+    out = mha_attention(q, k, v, interpret=True)
+    assert out.dtype == jnp.bfloat16
+
+    scale = d**-0.5
+    logits = jnp.einsum(
+        "bhtc,bhsc->bhts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    ref = jnp.einsum("bhts,bhsc->bhtc", w, v)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32),
+        atol=3e-2,  # bf16 accumulation differences
+    )
