@@ -12,9 +12,9 @@ Configuration (env overrides):
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is computed
 against a documented A100 torch-eager estimate: the measured per-sample FLOP
-count divided by an assumed 60 TFLOP/s effective A100 throughput for the
-reference's eager fp16/fp32 UNet loop (A100 peak 312 TFLOP/s bf16; eager
-diffusion UNets typically sustain ~15-25%). The north star is >=5x that.
+count divided by an assumed 45 TFLOP/s effective A100 throughput for the
+reference's eager fp32(+TF32) UNet loop — full derivation and upper/lower
+bounds in BASELINE.md. The north star is >=5x that.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_EFFECTIVE_FLOPS = 60e12  # documented assumption, see module docstring
+A100_EFFECTIVE_FLOPS = 45e12  # documented estimate; derivation in BASELINE.md
 
 
 def main():

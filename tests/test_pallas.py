@@ -63,6 +63,39 @@ def test_fused_qkv_kernel_matches_einsum_path(rng_np, split_first, n, c, heads):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("shape", [(7, 7, 64), (28, 28, 128), (64, 64, 384)])
+@pytest.mark.parametrize("mode", ["plain", "silu", "ada"])
+def test_fused_groupnorm_matches_reference(rng_np, shape, mode):
+    """Streaming GN kernel (interpret mode) == jnp reference for all three
+    modes and both aligned and padded token counts."""
+    import os
+
+    from nicediffusion_tpu.ops import groupnorm as gn
+    from nicediffusion_tpu.ops.pallas.groupnorm import group_norm_fused
+
+    h, w, c = shape
+    x = jnp.asarray(rng_np.normal(size=(2, h, w, c)).astype(np.float32))
+    sc = jnp.asarray(rng_np.normal(size=(c,)).astype(np.float32))
+    bi = jnp.asarray(rng_np.normal(size=(c,)).astype(np.float32))
+    es = jnp.asarray(rng_np.normal(size=(2, c)).astype(np.float32)) * 0.1
+    eh = jnp.asarray(rng_np.normal(size=(2, c)).astype(np.float32)) * 0.1
+
+    os.environ["NICEDIFFUSION_NO_PALLAS"] = "1"
+    try:
+        if mode == "plain":
+            ref = gn.group_norm(x, sc, bi)
+            out = group_norm_fused(x, sc, bi, silu=False, interpret=True)
+        elif mode == "silu":
+            ref = gn.group_norm_silu(x, sc, bi)
+            out = group_norm_fused(x, sc, bi, interpret=True)
+        else:
+            ref = gn.ada_group_norm_silu(x, sc, bi, es, eh)
+            out = group_norm_fused(x, sc, bi, es, eh, interpret=True)
+    finally:
+        del os.environ["NICEDIFFUSION_NO_PALLAS"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_pallas_attention_bf16(rng_np):
     b, h, n, d = 2, 2, 64, 64
     q, k, v = (
