@@ -9,6 +9,9 @@ Configuration (env overrides):
   BENCH_BATCH   per-chip batch size (default 32)
   BENCH_CFG     1 = classifier-free guidance (doubled-batch UNet), default 1
   BENCH_DTYPE   bfloat16 (default) | float32
+  BENCH_SAMPLER ddpm (default) | ddim   (BENCH_SAMPLER=ddim BENCH_STEPS=50
+                gives the secondary DDIM-50 wall-clock metric)
+  BENCH_TRACE   set to a directory to capture a jax.profiler device trace
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is computed
 against a documented A100 torch-eager estimate: the measured per-sample FLOP
@@ -50,10 +53,11 @@ def main():
         mcfg["num_classes"] += 1  # null class for CFG
     model = DiffusionModel(**mcfg, dtype=dtype)
 
+    use_ddim = os.environ.get("BENCH_SAMPLER", "ddpm") == "ddim"
     dcfg = dict(DIFFUSION_PRESETS["openai_64"])
     dcfg.update(
         rescaled_num_steps=steps,
-        use_ddim=False,
+        use_ddim=use_ddim,
         ddim_eta=0.0,
         guidance_method="classifier_free" if use_cfg else None,
         guidance_strength=0.8 if use_cfg else None,
@@ -83,6 +87,9 @@ def main():
 
     # timed runs
     runs = int(os.environ.get("BENCH_RUNS", 3))
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     for i in range(runs):
         out = diffusion.denoise(
@@ -90,6 +97,8 @@ def main():
         )
     out.block_until_ready()
     elapsed = (time.perf_counter() - t0) / runs
+    if trace_dir:
+        jax.profiler.stop_trace()
 
     samples_per_sec = batch / elapsed
 
@@ -121,7 +130,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"imagenet64_ddpm{steps}"
+                    f"imagenet64_{'ddim' if use_ddim else 'ddpm'}{steps}"
                     + ("_cfg" if use_cfg else "")
                     + "_samples_per_sec_per_chip"
                 ),

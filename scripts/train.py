@@ -97,7 +97,18 @@ def main():
         )
     else:
         try:
-            loader = emnist_batches(args.batch_size, root=args.data_root)
+            # prefer the native C++ prefetching loader; fall back to numpy
+            from nicediffusion_tpu.training.native_loader import (
+                is_available,
+                native_emnist_batches,
+            )
+
+            if is_available():
+                loader = native_emnist_batches(
+                    args.batch_size, root=args.data_root
+                )
+            else:
+                loader = emnist_batches(args.batch_size, root=args.data_root)
         except FileNotFoundError as e:
             print(f"{e}\nFalling back to --synthetic data.")
             loader = synthetic_batches(
