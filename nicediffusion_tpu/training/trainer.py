@@ -255,27 +255,27 @@ class Trainer:
                     self.state, batch, labels, step_rng
                 )
 
-                if self.print_every is not None or metrics_file is not None:
-                    loss = float(metrics["loss"])
-                    running_loss += loss
+                log_every = self.print_every
+                if log_every is None and metrics_file is not None:
+                    log_every = 10  # JSONL sink works without stdout printing
+                if log_every is not None:
+                    running_loss += float(metrics["loss"])
                     running_count += 1
-                    if (
-                        self.print_every is not None
-                        and step % self.print_every == 0
-                    ):
+                    if step % log_every == 0 or step == self.iterations - 1:
                         dt = time.time() - t_last
                         sps = running_count / dt if dt > 0 else 0.0
-                        print(
-                            f"Step #{step}  ----------------------------------"
-                            f"--------\n\tLoss={running_loss / max(running_count, 1)}"
-                            f"  ({sps:.2f} steps/s)"
-                        )
+                        avg = running_loss / max(running_count, 1)
+                        if self.print_every is not None:
+                            print(
+                                f"Step #{step}  ------------------------------"
+                                f"------------\n\tLoss={avg}  ({sps:.2f} steps/s)"
+                            )
                         if metrics_file is not None:
                             metrics_file.write(
                                 json.dumps(
                                     {
                                         "step": start_step + step,
-                                        "loss": running_loss / max(running_count, 1),
+                                        "loss": avg,
                                         "grad_norm": float(metrics["grad_norm"]),
                                         "steps_per_sec": sps,
                                     }

@@ -31,6 +31,11 @@ def main():
     from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
 
     parser = make_argparser("diff_sample")
+    parser.add_argument(
+        "--data_parallel", action="store_true", default=False,
+        help="shard each batch over all local TPU devices (batch_size must "
+             "divide by the device count); TPU-native addition",
+    )
     args = parser.parse_args()
     other_args, model_args, diff_args = get_dicts_from_args(args)
 
@@ -65,6 +70,18 @@ def main():
     model = DiffusionModel(**model_args)
     params = load_params(other_args["model_path"])
     params = jax.tree.map(jnp.asarray, params)
+
+    mesh = None
+    if other_args.get("data_parallel") and len(jax.devices()) > 1:
+        from nicediffusion_tpu.parallel.mesh import make_mesh, replicated
+
+        mesh = make_mesh()
+        assert BATCH_SIZE % mesh.shape["data"] == 0, (
+            "batch_size must divide the device count for --data_parallel"
+        )
+        params = jax.device_put(params, replicated(mesh))
+        if WORDY:
+            print(f"Sharding batches over {mesh.shape['data']} devices")
 
     if WORDY:
         n_params = sum(p.size for p in jax.tree.leaves(params))
@@ -126,6 +143,13 @@ def main():
                 labels = jnp.full((BATCH_SIZE,), LABELS[i_sample], dtype=jnp.int32)
         else:
             labels = None
+
+        if mesh is not None:
+            from nicediffusion_tpu.parallel.mesh import shard_batch
+
+            denoise_input = shard_batch(mesh, denoise_input)
+            if labels is not None:
+                labels = shard_batch(mesh, labels)
 
         if WORDY:
             print(f"Denoising sample {i_sample + 1}! :)")

@@ -125,7 +125,13 @@ def main():
             label = int(labels[i]) if labels is not None else i
             save_image(imgs[i], f"samples/train_sample_{label}_{i}.png")
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # data-parallel over all local devices; shrink the mesh to the largest
+    # device count that divides the batch
+    import math
+
+    n_dev = len(jax.devices())
+    n_data = math.gcd(n_dev, args.batch_size)
+    mesh = make_mesh(num_data=n_data) if n_data > 1 else None
     trainer = Trainer(
         model=model,
         diffusion_args=diff_args,
