@@ -25,9 +25,7 @@ cast to float32 at use — exactly the reference's numerics.
 
 from __future__ import annotations
 
-import dataclasses
 import enum
-from functools import partial
 from typing import Any, Callable, Sequence
 
 import jax

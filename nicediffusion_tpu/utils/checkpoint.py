@@ -13,7 +13,7 @@ from typing import Mapping
 import jax
 import numpy as np
 
-from .convert import convert_torch_state_dict, load_torch_checkpoint
+from .convert import load_torch_checkpoint
 
 __all__ = ["load_params", "save_params_npz"]
 

@@ -5,11 +5,11 @@ without TPU hardware. New scope vs the reference (which has no distributed
 training at all, reference trainer.py:9)."""
 
 import numpy as np
-import pytest
+
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from nicediffusion_tpu.models.unet import DiffusionModel
 from nicediffusion_tpu.parallel.mesh import data_sharding, make_mesh, replicated

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
+
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 

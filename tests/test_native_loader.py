@@ -3,7 +3,7 @@ nicediffusion_native.cc): idx.gz parsing, orientation fix, rescale,
 epoch-exact shuffling, and agreement with the numpy pipeline."""
 
 import gzip
-import os
+
 import struct
 
 import numpy as np

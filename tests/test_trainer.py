@@ -4,10 +4,10 @@ bitwise, and gradient accumulation accumulates (unlike the reference bug,
 trainer.py:92-96)."""
 
 import numpy as np
-import pytest
+
 
 import jax
-import jax.numpy as jnp
+
 
 from nicediffusion_tpu.models.unet import DiffusionModel
 from nicediffusion_tpu.training.data import synthetic_batches
