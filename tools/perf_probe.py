@@ -1,13 +1,20 @@
-"""Micro-benchmark of the flagship UNet forward under different configs.
+"""Micro-benchmark of the flagship UNet forward.
+
+IMPORTANT measurement note for this environment: the axon TPU relay makes
+`block_until_ready()` return before device execution completes, so naive
+timing reports absurd throughput. The trustworthy method (used here) chains
+N forwards device-side in a lax.scan and fetches a single scalar — the fetch
+forces real completion, and dividing by N amortises the transfer latency.
 
 Usage: python tools/perf_probe.py [batch ...]
-Prints ms/call and TFLOP/s for each (batch, dtype, param-dtype) variant.
+Prints ms/forward and sustained TF/s per batch size.
 """
+
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-import time
 
 import jax
 import jax.numpy as jnp
@@ -17,44 +24,51 @@ from nicediffusion_tpu.models.unet import DiffusionModel
 from nicediffusion_tpu.utils.config import MODEL_PRESETS
 
 
-def bench_fwd(model, params, batch, n=20):
-    x = jnp.zeros((batch, 64, 64, 3), dtype=jnp.bfloat16)
-    t = jnp.full((batch,), 500, dtype=jnp.int32)
-    y = jnp.zeros((batch,), dtype=jnp.int32)
+def chained_time(model, params, batch, n=5):
+    """ms per forward via an n-deep device-side chain + scalar fetch."""
 
-    fn = jax.jit(lambda p, x, t, y: model.apply({"params": p}, x, t, y))
-    lowered = fn.lower(params, x, t, y).compile()
-    flops = lowered.cost_analysis().get("flops", 0.0)
-    out = fn(params, x, t, y); out.block_until_ready()
+    def chained(p, x, t, y):
+        def body(c, _):
+            o = model.apply({"params": p}, c, t, y)
+            return o[..., :3].astype(jnp.bfloat16), None
+
+        c, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(c.astype(jnp.float32))
+
+    fn = jax.jit(chained)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 64, 64, 3), dtype=jnp.bfloat16
+    )
+    t = jnp.full((batch,), 500, jnp.int32)
+    y = jnp.zeros((batch,), jnp.int32)
+    float(fn(params, x, t, y))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(params, x, t, y)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n
-    return dt * 1e3, flops / dt / 1e12, flops
+    float(fn(params, x, t, y))
+    return (time.perf_counter() - t0) / n * 1e3
 
 
 def main():
-    batches = [int(b) for b in sys.argv[1:]] or [32, 64, 128]
-    mcfg = dict(MODEL_PRESETS["openai_64"])
-    model = DiffusionModel(**mcfg, dtype=jnp.bfloat16)
+    batches = [int(b) for b in sys.argv[1:]] or [32, 64]
+    model = DiffusionModel(**MODEL_PRESETS["openai_64"], dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
         lambda: model.init(
             jax.random.PRNGKey(0),
-            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1,), jnp.int32),
             jnp.zeros((1,), jnp.int32),
         )
     )["params"]
-    params32 = jax.tree.map(
-        lambda s: (jnp.arange(np.prod(s.shape), dtype=jnp.float32) % 97 / 9700.0
-                   ).reshape(s.shape).astype(s.dtype), shapes)
-    params16 = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params32)
-
+    params = jax.tree.map(
+        lambda s: (
+            jnp.arange(np.prod(s.shape), dtype=jnp.float32) % 97 / 9700.0
+        ).reshape(s.shape).astype(s.dtype),
+        shapes,
+    )
+    flops_per_img = 211e9  # cost_analysis of one forward (BASELINE.md)
     for b in batches:
-        ms, tf, fl = bench_fwd(model, params32, b)
-        print(f"batch {b:4d} f32-params: {ms:8.2f} ms  {tf:6.1f} TF/s  ({fl/b/1e9:.1f} GF/img)")
-        ms, tf, fl = bench_fwd(model, params16, b)
-        print(f"batch {b:4d} b16-params: {ms:8.2f} ms  {tf:6.1f} TF/s")
+        ms = chained_time(model, params, b)
+        tf = flops_per_img * b / (ms / 1e3) / 1e12
+        print(f"batch {b:4d}: {ms:7.1f} ms/fwd  {ms / b:5.2f} ms/img  {tf:6.1f} TF/s")
 
 
 if __name__ == "__main__":
