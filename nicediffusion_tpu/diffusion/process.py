@@ -357,6 +357,22 @@ class Diffusion:
     def _make_sampler(self, steps_to_do: int, progress: bool):
         step_fn = self.ddim_step if self.use_ddim else self.ddpm_step
 
+        if progress:
+            # host-side tqdm ticked from inside the compiled scan — keeps the
+            # reference's progress-bar UX (diffusion.py:207-212) without any
+            # host round-trip on the data path
+            import tqdm
+
+            bars: dict = {}
+
+            def _tick(_):
+                if "bar" not in bars or bars["bar"].n >= steps_to_do:
+                    bars.pop("bar", None) if "bar" in bars else None
+                    bars["bar"] = tqdm.tqdm(total=steps_to_do)
+                bars["bar"].update(1)
+                if bars["bar"].n >= steps_to_do:
+                    bars.pop("bar").close()
+
         def sampler(params, rng, x, y):
             def body(carry, t_scalar):
                 xc, key = carry
@@ -364,11 +380,7 @@ class Diffusion:
                 t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
                 xc, _ = step_fn(params, xc, t, step_key, y)
                 if progress:
-                    jax.debug.callback(
-                        lambda tt: print(f"  denoise step t={tt}", flush=True),
-                        t_scalar,
-                        ordered=False,
-                    )
+                    jax.debug.callback(_tick, t_scalar, ordered=False)
                 return (xc, key), None
 
             ts = jnp.arange(steps_to_do - 1, -1, -1)

@@ -149,6 +149,9 @@ class Trainer:
             # copy, not alias (reference trainer.py:55 aliases)
             ema_params=jax.tree.map(lambda p: p.copy(), init_params),
         )
+        if resume_step == "auto":
+            # crash-resume ergonomics: pick the newest checkpoint if any
+            resume_step = self.latest_checkpoint_step()
         if resume_step is not None:
             self.state = self.restore(resume_step)
 
@@ -326,6 +329,17 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         return ocp.StandardCheckpointer()
+
+    def latest_checkpoint_step(self) -> int | None:
+        """Newest step_{N} checkpoint under checkpoint_dir, or None."""
+        if not os.path.isdir(self.checkpoint_dir):
+            return None
+        steps = [
+            int(name[len("step_"):])
+            for name in os.listdir(self.checkpoint_dir)
+            if name.startswith("step_") and name[len("step_"):].isdigit()
+        ]
+        return max(steps) if steps else None
 
     def _ckpt_path(self, step: int) -> str:
         return os.path.abspath(
