@@ -170,7 +170,22 @@ class Diffusion:
         self._log_var_large = as32(s.log_var_large)
         self._log_var_small = as32(s.log_var_small)
 
+        # Extra static kwargs forwarded to every model call (e.g.
+        # low_res=<image batch> to drive a SuperResolutionModel — a sampling
+        # path the reference never wires up, model.py:479-499). Set via
+        # `with_model_kwargs` to keep the instance hashable for jit caching.
+        self.model_kwargs: dict = {}
         self._sampler_cache: dict = {}
+
+    def with_model_kwargs(self, **kwargs) -> "Diffusion":
+        """Set extra model-call kwargs (clears compiled-sampler cache).
+
+        Kwargs are forwarded verbatim; under classifier-free guidance the
+        model batch is doubled, so batched kwargs must be pre-doubled.
+        """
+        self.model_kwargs = kwargs
+        self._sampler_cache = {}
+        return self
 
     # ------------------------------------------------------------------
     # Forward (q) process
@@ -201,7 +216,9 @@ class Diffusion:
     def _apply_model(self, params, x, t, y):
         """Run the UNet at the mapped original timestep (diffusion.py:246)."""
         mapped = jnp.take(self.timestep_map, t)
-        kwargs = {"y": y} if self.model.conditional else {}
+        kwargs = dict(self.model_kwargs)
+        if self.model.conditional:
+            kwargs["y"] = y
         return self.model.apply({"params": params}, x, mapped, **kwargs)
 
     def _resolve_log_var(self, raw_log_var, t, ndim):
@@ -454,7 +471,9 @@ class Diffusion:
         x_t = self.q_sample(x_0, t, noise)
 
         mapped = jnp.take(self.timestep_map, t)
-        kwargs = {"y": y} if self.model.conditional else {}
+        kwargs = dict(self.model_kwargs)
+        if self.model.conditional:
+            kwargs["y"] = y
         apply_kwargs = {}
         if dropout_rng is not None:
             apply_kwargs = {"rngs": {"dropout": dropout_rng},

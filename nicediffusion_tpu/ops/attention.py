@@ -20,6 +20,7 @@ in VMEM; the Pallas fused version lives in nicediffusion_tpu.ops.pallas.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -57,6 +58,47 @@ def _pallas_enabled() -> bool:
         return False
 
 
+def _einsum_attention(qkv, num_heads: int, split_qkv_first: bool):
+    """Reference jnp attention over the fused projection -> (B, N, C)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hc = c // num_heads
+    q, k, v = split_qkv(qkv, num_heads, split_qkv_first)
+    scale = hc**-0.5
+    logits = jnp.einsum(
+        "bhtc,bhsc->bhts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bhsc->bhtc", weights, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pallas_attention(qkv, num_heads: int, split_qkv_first: bool):
+    from .pallas.attention import mha_attention_fused_qkv
+
+    return mha_attention_fused_qkv(qkv, num_heads, split_qkv_first).astype(
+        qkv.dtype
+    )
+
+
+def _pallas_attention_fwd(qkv, num_heads, split_qkv_first):
+    return _pallas_attention(qkv, num_heads, split_qkv_first), qkv
+
+
+def _pallas_attention_bwd(num_heads, split_qkv_first, qkv, g):
+    # Flash-style recompute backward: pallas_call has no automatic VJP, so
+    # the gradient re-derives through the numerically-identical einsum path
+    # (activations are not saved by the forward kernel anyway).
+    _, vjp = jax.vjp(
+        lambda q: _einsum_attention(q, num_heads, split_qkv_first), qkv
+    )
+    return vjp(g.astype(qkv.dtype))
+
+
+_pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def qkv_attention(
     qkv: jax.Array,
     num_heads: int,
@@ -75,23 +117,13 @@ def qkv_attention(
     c = c3 // 3
     hc = c // num_heads
 
+    del b, n, hc  # shapes handled inside the implementations
     if use_pallas is None:
         use_pallas = _pallas_enabled()
     if use_pallas:
-        from .pallas.attention import mha_attention_fused_qkv
-
-        return mha_attention_fused_qkv(
-            qkv, num_heads, split_qkv_first
-        ).astype(qkv.dtype)
-
-    q, k, v = split_qkv(qkv, num_heads, split_qkv_first)
-    scale = hc**-0.5
-    logits = jnp.einsum(
-        "bhtc,bhsc->bhts", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhts,bhsc->bhtc", weights, v)
-
+        # custom_vjp wrapper: the forward runs the fused kernel, the
+        # backward recomputes through the einsum path (see above)
+        return _pallas_attention(qkv, num_heads, split_qkv_first)
     # Both layouts emit the same output order (head h occupies channels
     # [h*hc, (h+1)*hc)) — verified against both torch branches.
-    return out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(qkv.dtype)
+    return _einsum_attention(qkv, num_heads, split_qkv_first).astype(qkv.dtype)

@@ -184,7 +184,13 @@ def main():
         if WORDY:
             r4 = model_args["resolution"] * 4
             print(f"Upsampling to {r4}x{r4} resolution!")
-        samples = esrgan_upsample_batches(samples)
+        try:
+            samples = esrgan_upsample_batches(samples)
+        except FileNotFoundError as e:
+            print(
+                f"Skipping --upsample: Real-ESRGAN weights not found ({e}).\n"
+                "Download RealESRGAN_x4plus.pth into models/ to enable it."
+            )
 
     if SAVE_PATH is None:  # display
         import matplotlib.pyplot as plt

@@ -96,6 +96,38 @@ def test_fused_groupnorm_matches_reference(rng_np, shape, mode):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_pallas_attention_gradients_match_einsum(rng_np):
+    """The custom-VJP (recompute-through-einsum) backward must produce the
+    same gradients as differentiating the einsum path directly — this is the
+    path TPU training takes (pallas_call has no automatic VJP)."""
+    from nicediffusion_tpu.ops.attention import (
+        _einsum_attention,
+        _pallas_attention,
+    )
+    from nicediffusion_tpu.ops.pallas import attention as pattn
+
+    b, n, c, heads = 2, 64, 128, 4
+    qkv = jnp.asarray(rng_np.normal(size=(b, n, 3 * c)).astype(np.float32))
+
+    # force interpret mode so the fwd runs the kernel on CPU
+    orig = pattn.mha_attention_fused_qkv
+    pattn.mha_attention_fused_qkv = lambda q, h, s: orig(
+        q, h, s, interpret=True
+    )
+    try:
+        g_pallas = jax.grad(
+            lambda q: jnp.sum(jnp.sin(_pallas_attention(q, heads, True)))
+        )(qkv)
+    finally:
+        pattn.mha_attention_fused_qkv = orig
+    g_einsum = jax.grad(
+        lambda q: jnp.sum(jnp.sin(_einsum_attention(q, heads, True)))
+    )(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_einsum), atol=1e-5
+    )
+
+
 def test_pallas_attention_bf16(rng_np):
     b, h, n, d = 2, 2, 64, 64
     q, k, v = (
