@@ -83,17 +83,24 @@ def _pallas_attention(qkv, num_heads: int, split_qkv_first: bool):
 
 
 def _pallas_attention_fwd(qkv, num_heads, split_qkv_first):
-    return _pallas_attention(qkv, num_heads, split_qkv_first), qkv
+    out = _pallas_attention(qkv, num_heads, split_qkv_first)
+    # the forward output is the softmax-trick residual:
+    # rowsum(dp * p) == rowsum(g * o)
+    return out, (qkv, out)
 
 
-def _pallas_attention_bwd(num_heads, split_qkv_first, qkv, g):
-    # Flash-style recompute backward: pallas_call has no automatic VJP, so
-    # the gradient re-derives through the numerically-identical einsum path
-    # (activations are not saved by the forward kernel anyway).
-    _, vjp = jax.vjp(
-        lambda q: _einsum_attention(q, num_heads, split_qkv_first), qkv
+def _pallas_attention_bwd(num_heads, split_qkv_first, res, g):
+    # Flash-style recompute backward as a Pallas kernel: recomputes the
+    # softmax in VMEM and emits the qkv cotangent with no (N, N) HBM traffic
+    # (pallas_call has no automatic VJP).
+    from .pallas.attention import mha_attention_fused_qkv_bwd
+
+    qkv, out = res
+    return (
+        mha_attention_fused_qkv_bwd(
+            qkv, g.astype(qkv.dtype), out, num_heads, split_qkv_first
+        ),
     )
-    return vjp(g.astype(qkv.dtype))
 
 
 _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
@@ -121,8 +128,8 @@ def qkv_attention(
     if use_pallas is None:
         use_pallas = _pallas_enabled()
     if use_pallas:
-        # custom_vjp wrapper: the forward runs the fused kernel, the
-        # backward recomputes through the einsum path (see above)
+        # custom_vjp wrapper: fused Pallas kernels for both the forward and
+        # the flash-style recompute backward (see above)
         return _pallas_attention(qkv, num_heads, split_qkv_first)
     # Both layouts emit the same output order (head h occupies channels
     # [h*hc, (h+1)*hc)) — verified against both torch branches.

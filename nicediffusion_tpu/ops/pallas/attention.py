@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mha_attention", "mha_attention_fused_qkv"]
+__all__ = [
+    "mha_attention",
+    "mha_attention_fused_qkv",
+    "mha_attention_fused_qkv_bwd",
+]
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
@@ -156,6 +160,157 @@ def mha_attention_fused_qkv(
         ),
         interpret=interpret,
     )(qkv_p)
+    return out[:, :n, :]
+
+
+def _fused_bwd_kernel(
+    qkv_ref, g_ref, o_ref, dqkv_ref, *, scale: float, n_valid: int,
+    num_heads: int, split_qkv_first: bool,
+):
+    """Flash-style attention backward for one batch element, all heads.
+
+    Recomputes p = softmax(q k^T * scale) in VMEM, then with the forward
+    output o as a residual:
+      delta = rowsum(g * o)          (== rowsum(dp * p), the softmax trick)
+      dv = p^T g;  dp = g v^T;  ds = p * (dp - delta) * scale;
+      dq = ds k;   dk = ds^T q
+    Intermediates are kept bf16 where safe so the (N, N) live set fits VMEM.
+    """
+    qkv = qkv_ref[0]
+    n, c3 = qkv.shape
+    c = c3 // 3
+    hc = c // num_heads
+
+    def offsets(head):
+        if split_qkv_first:
+            return head * hc, c + head * hc, 2 * c + head * hc
+        base = head * 3 * hc
+        return base, base + hc, base + 2 * hc
+
+    # Query rows processed in tiles so the f32 (QB, N) score blocks stay
+    # small enough for VMEM alongside the double-buffered qkv/g/o/dqkv
+    # blocks; dk/dv accumulate across tiles in f32. The tile loop is a
+    # fori_loop (not python-unrolled) so Mosaic reuses one set of temps.
+    qb = min(128, n)
+    n_blocks = n // qb
+
+    for head in range(num_heads):
+        qo, ko, vo = offsets(head)
+        q = qkv[:, qo : qo + hc]
+        k = qkv[:, ko : ko + hc]
+        v = qkv[:, vo : vo + hc]
+        go = head * hc
+
+        def qblock(i, carry, q=q, k=k, v=v, qo=qo, go=go):
+            dv_acc, dk_acc = carry
+            r0 = pl.multiple_of(i * qb, qb)
+            # slice query rows from the ref (value dynamic_slice is not
+            # lowerable in Mosaic)
+            qblk = qkv_ref[0, pl.ds(r0, qb), qo : qo + hc]
+            gblk = g_ref[0, pl.ds(r0, qb), go : go + hc]
+            oblk = o_ref[0, pl.ds(r0, qb), go : go + hc]
+
+            s = jax.lax.dot_general(
+                qblk, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if n_valid != n:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, -1e30)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
+
+            # delta[t] = rowsum(g*o) == rowsum(dp*p) (softmax trick)
+            delta = jnp.sum(
+                gblk.astype(jnp.float32) * oblk.astype(jnp.float32),
+                axis=-1, keepdims=True,
+            )
+
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p, gblk, (((0,), (0,)), ((), ())),  # p^T g -> (N, hc)
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                gblk, v, (((1,), (1,)), ((), ())),  # g v^T -> (QB, N)
+                preferred_element_type=jnp.float32,
+            )
+            ds = (
+                p.astype(jnp.float32) * (dp - delta) * scale
+            ).astype(qkv.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[0, pl.ds(r0, qb), qo : qo + hc] = dq.astype(
+                dqkv_ref.dtype
+            )
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, qblk, (((0,), (0,)), ((), ())),  # ds^T q -> (N, hc)
+                preferred_element_type=jnp.float32,
+            )
+            return dv_acc, dk_acc
+
+        dv_acc, dk_acc = jax.lax.fori_loop(
+            0, n_blocks, qblock,
+            (jnp.zeros((n, hc), dtype=jnp.float32),
+             jnp.zeros((n, hc), dtype=jnp.float32)),
+        )
+        dqkv_ref[0, :, ko : ko + hc] = dk_acc.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, vo : vo + hc] = dv_acc.astype(dqkv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "split_qkv_first", "interpret")
+)
+def mha_attention_fused_qkv_bwd(
+    qkv, g, o, num_heads: int, split_qkv_first: bool, *,
+    interpret: bool = False
+):
+    """Gradient of mha_attention_fused_qkv w.r.t. its qkv input.
+
+    (B, N, 3C) qkv + (B, N, C) output cotangent + (B, N, C) forward output
+    (the softmax-trick residual) -> (B, N, 3C) cotangent, computed entirely
+    in VMEM per batch element (no (N, N) HBM traffic)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hc = c // num_heads
+    scale = hc**-0.5
+
+    n_pad = (-n) % 8
+    if n_pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, n_pad), (0, 0)))
+        o = jnp.pad(o, ((0, 0), (0, n_pad), (0, 0)))
+    np_ = n + n_pad
+
+    kernel = functools.partial(
+        _fused_bwd_kernel, scale=scale, n_valid=n, num_heads=num_heads,
+        split_qkv_first=split_qkv_first,
+    )
+    # single-buffered blocks: each program's compute dwarfs the DMA, and
+    # double-buffering all four (N, 3C)-scale blocks exceeds VMEM
+    single = pl.Buffered(buffer_count=1)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, np_, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM, pipeline_mode=single),
+            pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM, pipeline_mode=single),
+            pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM, pipeline_mode=single),
+        ],
+        out_specs=pl.BlockSpec((1, np_, c3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM,
+                               pipeline_mode=single),
+        out_shape=jax.ShapeDtypeStruct((b, np_, c3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(qkv, g, o)
     return out[:, :n, :]
 
 

@@ -109,17 +109,22 @@ def test_pallas_attention_gradients_match_einsum(rng_np):
     b, n, c, heads = 2, 64, 128, 4
     qkv = jnp.asarray(rng_np.normal(size=(b, n, 3 * c)).astype(np.float32))
 
-    # force interpret mode so the fwd runs the kernel on CPU
-    orig = pattn.mha_attention_fused_qkv
-    pattn.mha_attention_fused_qkv = lambda q, h, s: orig(
+    # force interpret mode so fwd and bwd kernels run on CPU
+    orig_f = pattn.mha_attention_fused_qkv
+    orig_b = pattn.mha_attention_fused_qkv_bwd
+    pattn.mha_attention_fused_qkv = lambda q, h, s: orig_f(
         q, h, s, interpret=True
+    )
+    pattn.mha_attention_fused_qkv_bwd = lambda q, g, o, h, s: orig_b(
+        q, g, o, h, s, interpret=True
     )
     try:
         g_pallas = jax.grad(
             lambda q: jnp.sum(jnp.sin(_pallas_attention(q, heads, True)))
         )(qkv)
     finally:
-        pattn.mha_attention_fused_qkv = orig
+        pattn.mha_attention_fused_qkv = orig_f
+        pattn.mha_attention_fused_qkv_bwd = orig_b
     g_einsum = jax.grad(
         lambda q: jnp.sum(jnp.sin(_einsum_attention(q, heads, True)))
     )(qkv)
