@@ -13,11 +13,13 @@ online-softmax machinery is needed at these sequence lengths; this is a
 single-block flash kernel (softmax in f32, matmuls on the MXU with
 preferred_element_type=f32).
 
-Grid: (batch, heads). The q/k/v operands arrive pre-split in a (B, H, N, D)
-layout produced by the caller (ops/attention.py handles the two checkpoint
-qkv layouts — SURVEY.md model.py:266-287 — before the kernel, so one kernel
-serves both orders). Head dims D are 64..128 for all presets; N and D are
-padded to lane/sublane multiples by the caller when needed.
+Primary entry points:
+  * mha_attention_fused_qkv      — forward, grid (batch,), heads unrolled,
+    reading each head's q/k/v channel slices straight from the (B, N, 3C)
+    projection layout (both checkpoint orders) and writing (B, N, C).
+  * mha_attention_fused_qkv_bwd  — flash-style backward (see its docstring).
+  * mha_attention                — (B, H, N, D) variant kept for tests.
+Head dims are 64..256 for all presets; N is padded to sublane multiples.
 """
 
 from __future__ import annotations
@@ -129,7 +131,8 @@ def mha_attention_fused_qkv(
     writes the (B, N, C) head-contiguous layout the out-projection consumes.
     Head loop is python-unrolled (<= 12 heads for all presets); Mosaic block
     shapes stay full-width on the lane dimension, so no 128-divisibility
-    constraints on the head dim.
+    constraints on the head dim. Differentiable via the custom VJP in
+    ops/attention.py (backward = mha_attention_fused_qkv_bwd).
     """
     b, n, c3 = qkv.shape
     c = c3 // 3

@@ -60,6 +60,12 @@ def main():
     parser.add_argument("--data_root", type=str, default="data/EMNIST/raw")
     parser.add_argument("--print_every", type=int,
                         default=DEFAULTS["print_every"])
+    parser.add_argument(
+        "--no_grad_checkpoint", action="store_true", default=False,
+        help="disable activation rematerialisation (the reference trains "
+             "with grad checkpointing, train.py:42; disabling is ~10%% "
+             "faster when the batch fits memory)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -84,7 +90,8 @@ def main():
 
     model = DiffusionModel(
         **model_args,
-        use_remat=True,  # reference train.py:42 use_grad_checkpoints=True
+        # reference train.py:42 trains with grad checkpointing
+        use_remat=not args.no_grad_checkpoint,
         dtype=jnp.bfloat16 if args.use_fp16 else None,
     )
 

@@ -97,9 +97,9 @@ def test_fused_groupnorm_matches_reference(rng_np, shape, mode):
 
 
 def test_pallas_attention_gradients_match_einsum(rng_np):
-    """The custom-VJP (recompute-through-einsum) backward must produce the
-    same gradients as differentiating the einsum path directly — this is the
-    path TPU training takes (pallas_call has no automatic VJP)."""
+    """The custom-VJP backward (Pallas flash-backward kernel) must produce
+    the same gradients as differentiating the einsum path directly — this is
+    the path TPU training takes (pallas_call has no automatic VJP)."""
     from nicediffusion_tpu.ops.attention import (
         _einsum_attention,
         _pallas_attention,
