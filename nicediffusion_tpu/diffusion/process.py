@@ -332,13 +332,11 @@ class Diffusion:
 
     def ddim_step(self, params, x_t, t, rng=None, y=None, noise=None):
         """One DDIM step, eq. 12 of DDIM (reference diffusion.py:318-369)."""
-        want_var = False
+        eps, _ = self._guided_eps(params, x_t, t, y, want_log_var=False)
         if self.guidance == "classifier":
-            eps, _ = self._guided_eps(params, x_t, t, y, want_log_var=want_var)
+            # guidance on eps (OpenAI Alg. 2, reference diffusion.py:330-337)
             grad = self._classifier_grad(x_t, t, y)
             eps = eps - self.strength * grad * _bcast(self._sqrt_1macp, t, x_t.ndim)
-        else:
-            eps, _ = self._guided_eps(params, x_t, t, y, want_log_var=want_var)
 
         pred_x0 = (
             _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
