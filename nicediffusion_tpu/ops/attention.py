@@ -48,10 +48,21 @@ def split_qkv(qkv: jax.Array, num_heads: int, split_qkv_first: bool):
     return q, k, v
 
 
+def _pallas_interpret() -> bool:
+    """Interpret-mode escape hatch: run the Pallas kernels as plain JAX ops.
+
+    Lets CPU tests and the multi-chip dryrun exercise the exact kernel code
+    path (including its SPMD partitioning) without TPU hardware.
+    """
+    return bool(os.environ.get("NICEDIFFUSION_PALLAS_INTERPRET"))
+
+
 def _pallas_enabled() -> bool:
     """Use the fused Pallas kernel on TPU unless explicitly disabled."""
     if os.environ.get("NICEDIFFUSION_NO_PALLAS"):
         return False
+    if _pallas_interpret():
+        return True
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:
@@ -75,11 +86,13 @@ def _einsum_attention(qkv, num_heads: int, split_qkv_first: bool):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _pallas_attention(qkv, num_heads: int, split_qkv_first: bool):
-    from .pallas.attention import mha_attention_fused_qkv
+    # SPMD-partitionable wrapper (custom_partitioning over the batch dim);
+    # identical direct pallas_call lowering when only one device is visible.
+    from .pallas.attention import fused_qkv_attention_sharded
 
-    return mha_attention_fused_qkv(qkv, num_heads, split_qkv_first).astype(
-        qkv.dtype
-    )
+    return fused_qkv_attention_sharded(
+        qkv, num_heads, split_qkv_first, interpret=_pallas_interpret()
+    ).astype(qkv.dtype)
 
 
 def _pallas_attention_fwd(qkv, num_heads, split_qkv_first):
@@ -93,12 +106,13 @@ def _pallas_attention_bwd(num_heads, split_qkv_first, res, g):
     # Flash-style recompute backward as a Pallas kernel: recomputes the
     # softmax in VMEM and emits the qkv cotangent with no (N, N) HBM traffic
     # (pallas_call has no automatic VJP).
-    from .pallas.attention import mha_attention_fused_qkv_bwd
+    from .pallas.attention import fused_qkv_attention_bwd_sharded
 
     qkv, out = res
     return (
-        mha_attention_fused_qkv_bwd(
-            qkv, g.astype(qkv.dtype), out, num_heads, split_qkv_first
+        fused_qkv_attention_bwd_sharded(
+            qkv, g.astype(qkv.dtype), out, num_heads, split_qkv_first,
+            interpret=_pallas_interpret(),
         ),
     )
 

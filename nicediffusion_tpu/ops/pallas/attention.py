@@ -35,6 +35,8 @@ __all__ = [
     "mha_attention",
     "mha_attention_fused_qkv",
     "mha_attention_fused_qkv_bwd",
+    "fused_qkv_attention_sharded",
+    "fused_qkv_attention_bwd_sharded",
 ]
 
 
@@ -315,6 +317,118 @@ def mha_attention_fused_qkv_bwd(
         interpret=interpret,
     )(qkv, g, o)
     return out[:, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning
+#
+# A pallas_call lowers to an opaque CustomCallOp that GSPMD/shardy cannot see
+# through: under a sharded jit the partitioner would replicate the operands
+# (all-gathering a P('data')-sharded batch onto every chip) or fail. Both
+# kernels grid over the batch dimension with fully independent programs, so
+# they partition trivially along batch — these wrappers teach the partitioner
+# exactly that via jax.experimental.custom_partitioning: the batch dim keeps
+# whatever mesh axes the operand carries, every other dim is forced
+# replicated (need_replication factors), and each shard runs the kernel on
+# its local (B/shards, N, 3C) block. No collectives are inserted for plain
+# data parallelism; a tensor-parallel ('model'-sharded) qkv is all-gathered
+# on channels first, which is the correct semantics for this fused kernel.
+# ---------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+def _batch_only_sharding(mesh, sharding, ndim: int) -> NamedSharding:
+    """Keep the operand's batch-dim placement; replicate all other dims."""
+    batch = None
+    spec = getattr(sharding, "spec", None)
+    if spec is not None and len(spec) > 0:
+        batch = spec[0]
+    return NamedSharding(mesh, P(batch, *([None] * (ndim - 1))))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fwd(num_heads: int, split_qkv_first: bool, interpret: bool):
+    def impl(qkv):
+        return mha_attention_fused_qkv(
+            qkv, num_heads, split_qkv_first, interpret=interpret
+        )
+
+    fn = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = _batch_only_sharding(mesh, arg_shapes[0].sharding, 3)
+        return mesh, impl, sh, (sh,)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _batch_only_sharding(mesh, arg_shapes[0].sharding, 3)
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        # batch factor `b` is freely shardable; sequence and channel dims
+        # must stay whole per shard (the kernel needs the full sequence and
+        # all heads of one batch element in VMEM)
+        sharding_rule="b n c -> b n d",
+        need_replication_factors=("n", "c", "d"),
+    )
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bwd(num_heads: int, split_qkv_first: bool, interpret: bool):
+    def impl(qkv, g, o):
+        return mha_attention_fused_qkv_bwd(
+            qkv, g, o, num_heads, split_qkv_first, interpret=interpret
+        )
+
+    fn = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh3 = _batch_only_sharding(mesh, arg_shapes[0].sharding, 3)
+        return mesh, impl, sh3, (sh3, sh3, sh3)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _batch_only_sharding(mesh, arg_shapes[0].sharding, 3)
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="b n c, b n e, b n f -> b n d",
+        need_replication_factors=("n", "c", "e", "f", "d"),
+    )
+    return fn
+
+
+def fused_qkv_attention_sharded(
+    qkv, num_heads: int, split_qkv_first: bool, *, interpret: bool = False
+):
+    """mha_attention_fused_qkv, partitionable along batch under SPMD jit.
+
+    On a single device this calls the kernel directly (identical lowering to
+    round-1's benched path); with >1 visible device the custom_partitioning
+    wrapper lets a P('data')-sharded batch run the kernel shard-locally.
+    """
+    if len(jax.devices()) == 1:
+        return mha_attention_fused_qkv(
+            qkv, num_heads, split_qkv_first, interpret=interpret
+        )
+    return _sharded_fwd(num_heads, split_qkv_first, interpret)(qkv)
+
+
+def fused_qkv_attention_bwd_sharded(
+    qkv, g, o, num_heads: int, split_qkv_first: bool, *,
+    interpret: bool = False
+):
+    """mha_attention_fused_qkv_bwd, partitionable along batch under SPMD."""
+    if len(jax.devices()) == 1:
+        return mha_attention_fused_qkv_bwd(
+            qkv, g, o, num_heads, split_qkv_first, interpret=interpret
+        )
+    return _sharded_bwd(num_heads, split_qkv_first, interpret)(qkv, g, o)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -18,9 +18,11 @@ this model family: there is no layer pipeline depth worth the bubbles at
 <=600M params, max attention sequence is 1024 tokens (SURVEY.md §5.7), and
 there are no experts. DP (+ optional TP) is the honest full coverage.
 
-Note: the Pallas fused-attention kernel is not SPMD-partitioned; use
-NICEDIFFUSION_NO_PALLAS=1 (or rely on non-TPU backends) when sharding over
-'model'. The XLA einsum attention partitions fine.
+The Pallas fused-attention kernels are SPMD-partitionable: they register a
+custom_partitioning rule (ops/pallas/attention.py) that keeps a
+P('data')-sharded batch shard-local (no collectives) and reshards
+channel-sharded ('model'-axis) inputs to whole channels before the
+shard-local kernel, so both DP and DP x TP jits use the fast path.
 """
 
 from __future__ import annotations

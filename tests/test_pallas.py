@@ -96,7 +96,7 @@ def test_fused_groupnorm_matches_reference(rng_np, shape, mode):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_pallas_attention_gradients_match_einsum(rng_np):
+def test_pallas_attention_gradients_match_einsum(rng_np, monkeypatch):
     """The custom-VJP backward (Pallas flash-backward kernel) must produce
     the same gradients as differentiating the einsum path directly — this is
     the path TPU training takes (pallas_call has no automatic VJP)."""
@@ -104,27 +104,15 @@ def test_pallas_attention_gradients_match_einsum(rng_np):
         _einsum_attention,
         _pallas_attention,
     )
-    from nicediffusion_tpu.ops.pallas import attention as pattn
 
     b, n, c, heads = 2, 64, 128, 4
     qkv = jnp.asarray(rng_np.normal(size=(b, n, 3 * c)).astype(np.float32))
 
-    # force interpret mode so fwd and bwd kernels run on CPU
-    orig_f = pattn.mha_attention_fused_qkv
-    orig_b = pattn.mha_attention_fused_qkv_bwd
-    pattn.mha_attention_fused_qkv = lambda q, h, s: orig_f(
-        q, h, s, interpret=True
-    )
-    pattn.mha_attention_fused_qkv_bwd = lambda q, g, o, h, s: orig_b(
-        q, g, o, h, s, interpret=True
-    )
-    try:
-        g_pallas = jax.grad(
-            lambda q: jnp.sum(jnp.sin(_pallas_attention(q, heads, True)))
-        )(qkv)
-    finally:
-        pattn.mha_attention_fused_qkv = orig_f
-        pattn.mha_attention_fused_qkv_bwd = orig_b
+    # interpret mode runs the fwd and bwd kernels as plain JAX ops on CPU
+    monkeypatch.setenv("NICEDIFFUSION_PALLAS_INTERPRET", "1")
+    g_pallas = jax.grad(
+        lambda q: jnp.sum(jnp.sin(_pallas_attention(q, heads, True)))
+    )(qkv)
     g_einsum = jax.grad(
         lambda q: jnp.sum(jnp.sin(_einsum_attention(q, heads, True)))
     )(qkv)
