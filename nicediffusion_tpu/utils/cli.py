@@ -61,6 +61,11 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
                        help="rng seed for reproducibility")
         g.add_argument("--cpu", action="store_true", default=False,
                        help="force CPU instead of auto-detecting TPU")
+        g.add_argument("--dtype", type=str, default="auto", metavar=o,
+                       choices=("auto", "bfloat16", "float32"),
+                       help="model compute dtype: 'auto' picks bfloat16 on "
+                            "TPU (the benchmarked fast path) and float32 on "
+                            "CPU/--cpu (parity with the fp32 reference)")
     else:
         g = parser.add_argument_group(
             "training arguments", "arguments for training process"

@@ -67,7 +67,18 @@ def main():
     CONDITIONAL = model_args["num_classes"] is not None
     SAVE_PATH = other_args["save_path"]
 
-    model = DiffusionModel(**model_args)
+    # compute dtype: bf16 is the benchmarked TPU fast path (~2x the f32
+    # sampler throughput); f32 preserved for CPU / --cpu numerical parity
+    dtype_flag = other_args.get("dtype", "auto")
+    if dtype_flag == "auto":
+        on_tpu = not other_args["cpu"] and jax.default_backend() == "tpu"
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    else:
+        dtype = jnp.dtype(dtype_flag)
+    if WORDY:
+        print(f"Computing in {jnp.dtype(dtype).name}")
+
+    model = DiffusionModel(**model_args, dtype=dtype)
     params = load_params(other_args["model_path"])
     params = jax.tree.map(jnp.asarray, params)
 
