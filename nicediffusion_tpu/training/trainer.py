@@ -290,10 +290,13 @@ class Trainer:
                         running_count = 0
                         t_last = time.time()
 
-                if self.sample_every is not None and step % self.sample_every == 0:
+                # periodic sample/save skip step 0 — firing there burns a
+                # 250-step sampler compile before any training has happened.
+                # None or 0 both mean "never".
+                if self.sample_every and step > 0 and step % self.sample_every == 0:
                     self.sample(4)
 
-                if self.save_every is not None and step % self.save_every == 0:
+                if self.save_every and step > 0 and step % self.save_every == 0:
                     self.save(start_step + step)
 
             self.save(start_step + self.iterations)

@@ -74,7 +74,12 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
         g.add_argument("--lr", type=float, required=True, metavar=r)
         g.add_argument("--weight_decay", type=float, required=True, metavar=r)
         g.add_argument("--iterations", type=int, required=True, metavar=r)
-        g.add_argument("--resume_step", type=int, default=0, metavar=o)
+        g.add_argument("--resume_step",
+                       type=lambda s: s if s == "auto" else int(s),
+                       default=None, metavar=o,
+                       help="checkpoint step to resume from (0 is a valid "
+                            "step; omit for a fresh run; 'auto' picks the "
+                            "newest checkpoint)")
         g.add_argument("--wordy", "-w", dest="wordy", action="store_true",
                        default=False)
         g.add_argument("--save_every", type=int, default=None, metavar=o)

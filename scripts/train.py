@@ -149,7 +149,7 @@ def main():
         weight_decay=args.weight_decay,
         ema_rate=args.ema_rate,
         grad_accumulation=args.grad_accumulation,
-        resume_step=args.resume_step or None,
+        resume_step=args.resume_step,
         print_every=args.print_every if args.wordy else None,
         sample_every=args.sample_every,
         save_every=args.save_every,
