@@ -169,10 +169,10 @@ def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
     assert (diff_args["guidance_method"] == "classifier") == (
         other_args.get("classifier_path") is not None
     )
-    if other_args.get("classifier_path") is not None:
-        raise NotImplementedError(
-            "noisy-classifier checkpoints are not yet supported"
-        )
+    # Deliberate capability extension over the reference: utils.py:168-172
+    # raises NotImplementedError for --classifier_path; here the sampling
+    # script loads a guided-diffusion EncoderUNet classifier
+    # (models/classifier.py) and wires it into the guidance hook.
 
     if "custom" in other_args:  # sampling mode
         if other_args["custom"]:
@@ -189,9 +189,18 @@ def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
                     "specified"
                 )
         else:
+            user_strength = diff_args.get("guidance_strength")
             m, d = preset_for_path(other_args["model_path"])
             model_args.update(m)
             diff_args.update(d)
+            # classifier guidance must survive preset dispatch (the presets
+            # carry their own guidance_method, which would silently disable
+            # the user's --classifier_path; no reference precedent — it
+            # raises before reaching here)
+            if other_args.get("classifier_path") is not None:
+                diff_args["guidance_method"] = "classifier"
+                if user_strength is not None:
+                    diff_args["guidance_strength"] = user_strength
             if other_args.get("labels"):
                 other_args["labels"] = [
                     int(i) for i in other_args["labels"].split("/")

@@ -17,7 +17,9 @@ from typing import Any
 __all__ = [
     "MODEL_PRESETS",
     "DIFFUSION_PRESETS",
+    "CLASSIFIER_PRESETS",
     "preset_for_path",
+    "classifier_preset_for_path",
     "apply_derivations",
 ]
 
@@ -81,6 +83,53 @@ DIFFUSION_PRESETS: dict[str, dict[str, Any]] = {
     "openai_128": OPENAI_128_DIFFUSION,
     "openai_256": OPENAI_256_DIFFUSION,
 }
+
+
+# --- noisy-classifier presets (new scope: the reference raises
+# NotImplementedError for --classifier_path, utils.py:168-172). These match
+# OpenAI guided-diffusion's create_classifier defaults for the released
+# `{64x64,128x128,256x256}_classifier.pt` checkpoints: EncoderUNetModel with
+# classifier_width=128, attention at feature resolutions 32/16/8,
+# num_head_channels=64, scale-shift norm (AdaGN), resblock up/down, attention
+# pool; classifier_depth=4 at 64x64, the default 2 elsewhere. channel_mult
+# follows the image-size rule shared with the UNets. If a checkpoint's depth
+# differs, conversion fails loudly on structure (tools/verify_checkpoint.py
+# diagnoses) and --custom flags can override. ---
+_CLASSIFIER_COMMON = dict(
+    in_channels=3, model_channels=128, out_channels=1000,
+    attention_resolutions=(8, 16, 32), num_head_channels=64, dropout=0.0,
+    resblock_updown=True, use_adaptive_gn=True, split_qkv_first=False,
+    pool="attention",
+)
+CLASSIFIER_PRESETS: dict[str, dict[str, Any]] = {
+    "openai_64": dict(
+        _CLASSIFIER_COMMON, resolution=64, channel_mult=(1, 2, 3, 4),
+        num_res_blocks=4,
+    ),
+    "openai_128": dict(
+        _CLASSIFIER_COMMON, resolution=128, channel_mult=(1, 1, 2, 3, 4),
+        num_res_blocks=2,
+    ),
+    "openai_256": dict(
+        _CLASSIFIER_COMMON, resolution=256, channel_mult=(1, 1, 2, 2, 4, 4),
+        num_res_blocks=2,
+    ),
+}
+
+
+def classifier_preset_for_path(classifier_path: str) -> dict:
+    """Classifier preset dispatch by path substring (same rule as
+    preset_for_path)."""
+    for sub, key in (
+        ("64x64", "openai_64"), ("128x128", "openai_128"),
+        ("256x256", "openai_256"),
+    ):
+        if sub in classifier_path:
+            return dict(CLASSIFIER_PRESETS[key])
+    raise NotImplementedError(
+        f"{classifier_path}: no classifier preset for this path; expected a "
+        "64x64/128x128/256x256 guided-diffusion classifier checkpoint"
+    )
 
 
 def preset_for_path(model_path: str) -> tuple[dict, dict]:

@@ -26,7 +26,9 @@ from typing import Any, Mapping
 
 import numpy as np
 
-_QKV_RE = re.compile(r"qkv(?!_nin)")
+# rename bare `qkv` -> `qkv_nin` but leave `qkv_nin` (idempotence) and the
+# attention pool's `qkv_proj` (classifier checkpoints) untouched
+_QKV_RE = re.compile(r"qkv(?!_nin|_proj)")
 
 __all__ = [
     "rename_guided_diffusion_keys",
@@ -104,6 +106,9 @@ def _convert_leaf(path: list[str], leaf: str, value: np.ndarray):
     module = path[-1] if path else ""
     if leaf == "bias":
         return "bias", value
+    if leaf == "positional_embedding":
+        # AttentionPool2d stores (C, N+1); flax uses token-major (N+1, C)
+        return "positional_embedding", value.T
     assert leaf == "weight", f"unexpected leaf {leaf} at {'.'.join(path)}"
     if module == "class_embedding":
         return "embedding", value
@@ -187,11 +192,13 @@ def flax_params_to_torch_state_dict(params: dict) -> dict:
             name, value = "weight", value
         elif leaf == "embedding":
             name, value = "weight", value
+        elif leaf == "positional_embedding":
+            name, value = "positional_embedding", value.T  # back to (C, N+1)
         elif leaf == "kernel":
             name = "weight"
             if value.ndim == 4:
                 value = value.transpose(3, 2, 0, 1)
-            elif mods and mods[-1] in ("qkv_nin", "proj_out"):
+            elif mods and mods[-1] in ("qkv_nin", "proj_out", "qkv_proj", "c_proj"):
                 value = value.T[:, :, None]  # Dense -> Conv1d (O, I, 1)
             else:
                 value = value.T

@@ -82,6 +82,30 @@ def main():
     params = load_params(other_args["model_path"])
     params = jax.tree.map(jnp.asarray, params)
 
+    # noisy-classifier guidance (capability extension — the reference raises
+    # NotImplementedError here, utils.py:168-172): load a guided-diffusion
+    # EncoderUNet classifier and wire grad(log p(y|x_t)) into the sampler
+    if other_args.get("classifier_path"):
+        from nicediffusion_tpu.models.classifier import EncoderUNet
+        from nicediffusion_tpu.utils.config import classifier_preset_for_path
+
+        cls_cfg = classifier_preset_for_path(other_args["classifier_path"])
+        cls_model = EncoderUNet(**cls_cfg, dtype=dtype)
+        cls_params = jax.tree.map(
+            jnp.asarray, load_params(other_args["classifier_path"])
+        )
+        if WORDY:
+            n_cls = sum(p.size for p in jax.tree.leaves(cls_params))
+            print(
+                f"Classifier made from {other_args['classifier_path']} with "
+                f"{n_cls} parameters! :)"
+            )
+
+        def classifier_fn(x, t):
+            return cls_model.apply({"params": cls_params}, x, t)
+
+        diff_args["classifier"] = classifier_fn
+
     mesh = None
     if other_args.get("data_parallel") and len(jax.devices()) > 1:
         from nicediffusion_tpu.parallel.mesh import make_mesh, replicated

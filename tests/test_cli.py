@@ -90,16 +90,27 @@ def test_guidance_requires_conditional():
         get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
 
 
-def test_classifier_path_unimplemented_like_reference():
+def test_classifier_path_accepted_beyond_reference():
+    """Deliberate divergence: the reference raises NotImplementedError for
+    --classifier_path (utils.py:168-172); we accept it and route the path
+    through other_args so scripts/sample.py can load the classifier."""
     argv = [
         "--model_path", "EMNIST.pt", "--batch_size", "1", "--num_samples", "1",
         "--num_classes", "27",
         "--guidance_method", "classifier", "--classifier_path", "clf.pt",
     ]
-    with pytest.raises(NotImplementedError):
-        get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
+    o, _, d = get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
+    assert o["classifier_path"] == "clf.pt"
+    # classifier guidance survives preset dispatch (the EMNIST preset's own
+    # guidance_method would otherwise silently win)
+    assert d["guidance_method"] == "classifier"
     with pytest.raises(NotImplementedError):
         ref_get_dicts(ref_make_argparser("diff_sample").parse_args(argv))
+    # the pairing assert is preserved: classifier method <=> classifier_path
+    with pytest.raises(AssertionError):
+        get_dicts_from_args(make_argparser("diff_sample").parse_args(
+            argv[:-2]  # method without path
+        ))
 
 
 def test_training_parser_flags():
