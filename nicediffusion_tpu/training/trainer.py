@@ -225,9 +225,22 @@ class Trainer:
         )
 
     def _shard_batch(self, batch, labels):
-        batch = jnp.asarray(batch, dtype=jnp.float32)
         if labels is None:  # unconditional loaders may yield labels=None
-            labels = jnp.zeros((batch.shape[0],), dtype=jnp.int32)
+            labels = np.zeros((np.shape(batch)[0],), dtype=np.int32)
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host: each process feeds its local share of the global
+            # batch (batch_size // process_count examples — see
+            # parallel/multihost.py's data contract); assemble them into one
+            # P('data')-sharded global array
+            data = NamedSharding(self.mesh, P("data"))
+            batch = jax.make_array_from_process_local_data(
+                data, np.asarray(batch, dtype=np.float32)
+            )
+            labels = jax.make_array_from_process_local_data(
+                data, np.asarray(labels, dtype=np.int32)
+            )
+            return batch, labels
+        batch = jnp.asarray(batch, dtype=jnp.float32)
         labels = jnp.asarray(labels, dtype=jnp.int32)
         if self.mesh is not None:
             data = NamedSharding(self.mesh, P("data"))

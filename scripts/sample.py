@@ -41,6 +41,9 @@ def main():
 
     import jax
 
+    from nicediffusion_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     if other_args["cpu"]:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

@@ -71,6 +71,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from nicediffusion_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
+        process_local_batch_size,
+    )
+
+    # multi-host: one process per TPU host, enabled by JAX_COORDINATOR
+    # (parallel/multihost.py documents the env + data contract)
+    maybe_initialize_distributed()
+
     from nicediffusion_tpu.models.unet import DiffusionModel
     from nicediffusion_tpu.parallel.mesh import make_mesh
     from nicediffusion_tpu.training.data import emnist_batches, synthetic_batches
@@ -95,12 +104,15 @@ def main():
         dtype=jnp.bfloat16 if args.use_fp16 else None,
     )
 
+    # each process loads its local share of the global batch
+    local_batch = process_local_batch_size(args.batch_size)
     if args.synthetic:
         loader = synthetic_batches(
-            batch_size=args.batch_size,
+            batch_size=local_batch,
             resolution=model_args["resolution"],
             channels=model_args["in_channels"],
             num_classes=model_args["num_classes"],
+            seed=jax.process_index(),
         )
     else:
         try:
@@ -112,17 +124,22 @@ def main():
 
             if is_available():
                 loader = native_emnist_batches(
-                    args.batch_size, root=args.data_root
+                    local_batch, root=args.data_root,
+                    seed=jax.process_index(),
                 )
             else:
-                loader = emnist_batches(args.batch_size, root=args.data_root)
+                loader = emnist_batches(
+                    local_batch, root=args.data_root,
+                    seed=jax.process_index(),
+                )
         except FileNotFoundError as e:
             print(f"{e}\nFalling back to --synthetic data.")
             loader = synthetic_batches(
-                batch_size=args.batch_size,
+                batch_size=local_batch,
                 resolution=model_args["resolution"],
                 channels=model_args["in_channels"],
                 num_classes=model_args["num_classes"],
+                seed=jax.process_index(),
             )
 
     os.makedirs("samples", exist_ok=True)
