@@ -1,0 +1,77 @@
+"""int8 quantization op tests (serving fast path, ops/quant.py).
+
+Correctness is statistical, not bitwise: symmetric per-channel weight quant
++ per-tensor dynamic activation quant bounds relative error by ~1/127 per
+factor; we assert tight agreement against the f32 ops on well-conditioned
+random inputs.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nicediffusion_tpu.ops.quant import (
+    int8_conv,
+    int8_dense,
+    quantize_activation,
+    quantize_weight_channelwise,
+)
+
+
+def test_weight_quant_roundtrip(rng_np):
+    w = jnp.asarray(rng_np.normal(size=(3, 3, 16, 32)).astype(np.float32))
+    w_q, scale = quantize_weight_channelwise(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (32,)
+    deq = w_q.astype(jnp.float32) * scale
+    err = np.abs(np.asarray(deq - w))
+    # per-channel absmax / 127 is the max rounding step
+    bound = np.asarray(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0 * 0.5 + 1e-6)
+    assert (err <= bound[None, None, None, :] + 1e-6).all()
+
+
+def test_activation_quant_roundtrip(rng_np):
+    x = jnp.asarray(rng_np.normal(size=(4, 8, 8, 16)).astype(np.float32))
+    x_q, scale = quantize_activation(x)
+    deq = x_q.astype(jnp.float32) * scale
+    assert float(jnp.max(jnp.abs(deq - x))) <= float(scale) * 0.5 + 1e-6
+
+
+def test_int8_conv_close_to_f32(rng_np):
+    x = jnp.asarray(rng_np.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng_np.normal(size=(3, 3, 16, 32)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng_np.normal(size=(32,)).astype(np.float32) * 0.1)
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    out = int8_conv(x, w, bias=b)
+    # relative error budget: two quantizations at ~0.4%/127 each over a
+    # 144-term dot — empirically ~1-2% of the output scale
+    denom = float(jnp.std(ref)) + 1e-6
+    rel = float(jnp.max(jnp.abs(out - ref))) / denom
+    assert rel < 0.08, rel
+
+
+def test_int8_conv_strided_shape():
+    x = jnp.ones((1, 8, 8, 4))
+    w = jnp.ones((3, 3, 4, 8))
+    out = int8_conv(x, w, stride=2)
+    assert out.shape == (1, 4, 4, 8)
+
+
+def test_int8_dense_close_to_f32(rng_np):
+    x = jnp.asarray(rng_np.normal(size=(4, 64, 32)).astype(np.float32))
+    w = jnp.asarray(rng_np.normal(size=(32, 96)).astype(np.float32) * 0.1)
+    ref = x @ w
+    out = int8_dense(x, w)
+    denom = float(jnp.std(ref)) + 1e-6
+    rel = float(jnp.max(jnp.abs(out - ref))) / denom
+    assert rel < 0.08, rel
+
+
+def test_int8_dense_preserves_dtype():
+    x = jnp.ones((2, 8), jnp.bfloat16)
+    w = jnp.ones((8, 4))
+    assert int8_dense(x, w).dtype == jnp.bfloat16

@@ -1,10 +1,17 @@
 """Microbenchmark: int8 vs bf16 conv/matmul throughput through XLA on TPU.
 
-Answers whether XLA lowers int8 convolutions/matmuls onto the MXU at the
-2x-bf16 peak that v5e hardware advertises — the gating question for an int8
-quantized serving mode (the only path past the bf16 roofline documented in
-BASELINE.md). Uses the chained-scan timing method (see tools/perf_probe.py:
-the axon relay lies to naive block_until_ready timing).
+Answers whether XLA reaches the MXU's 2x-bf16 int8 peak — the gating
+question for an int8 quantized serving mode (the only path past the bf16
+roofline documented in BASELINE.md).
+
+Measurement notes:
+  * chained-scan timing (tools/perf_probe.py): the axon relay lies to naive
+    block_until_ready timing, so we chain N ops device-side and fetch one
+    scalar.
+  * the chain must be FULLY data-dependent: feeding only `o[0, 0]` forward
+    lets XLA rewrite slice-of-dot into dot-of-slices and report >peak
+    numbers (observed 411 TF/s on a ~197 TF/s chip). Here each step's whole
+    output becomes the next step's input.
 
 Usage: python tools/int8_probe.py
 """
@@ -20,73 +27,90 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_chained(make_step, n=20, warm=2):
+def _time_chained(fn, args, n, warm=2):
     """ms per step via an n-deep device-side chain + single scalar fetch."""
-    fn = jax.jit(make_step)
+    jfn = jax.jit(fn)
     for _ in range(warm):
-        float(fn())
+        float(jfn(*args))
     t0 = time.perf_counter()
-    float(fn())
+    float(jfn(*args))
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def bench_matmul(m, k, n, dtype, acc, steps=20):
-    flops = 2 * m * k * n
-
+def _requant(o, dtype):
+    """Cast a wide accumulator back to the chain's input dtype with full
+    data dependence."""
     if dtype == jnp.int8:
-        a = jnp.ones((m, k), jnp.int8)
-        b = jnp.ones((k, n), jnp.int8)
+        return jnp.clip(o // 1024, -127, 127).astype(jnp.int8)
+    return (o * 0.01).astype(dtype)
+
+
+def bench_matmul(m, k, dtype, acc, steps=20):
+    """Square chain x <- requant(x @ b), x (m, k), b (k, k)."""
+    flops = 2 * m * k * k
+    rng = np.random.default_rng(0)
+    if dtype == jnp.int8:
+        x0 = jnp.asarray(rng.integers(-100, 100, (m, k)), jnp.int8)
+        b = jnp.asarray(rng.integers(-100, 100, (k, k)), jnp.int8)
     else:
-        a = jnp.ones((m, k), dtype)
-        b = jnp.ones((k, n), dtype)
+        x0 = jnp.asarray(rng.normal(size=(m, k)), dtype)
+        b = jnp.asarray(rng.normal(size=(k, k)), dtype)
 
-    def step():
-        def body(c, _):
+    def step(x0, b):
+        def body(x, _):
             o = jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())), preferred_element_type=acc
+                x, b, (((1,), (0,)), ((), ())), preferred_element_type=acc
             )
-            # fold the result back so the chain has a data dependence
-            return c + o[0, 0].astype(jnp.float32), None
+            return _requant(o, dtype), None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
-        return c
+        x, _ = jax.lax.scan(body, x0, None, length=steps)
+        return jnp.sum(x.astype(jnp.float32))
 
-    ms = _time_chained(step, n=steps)
+    ms = _time_chained(step, (x0, b), n=steps)
     return flops / (ms / 1e3) / 1e12
 
 
 def bench_conv(batch, res, cin, cout, dtype, acc, steps=20):
+    """Chain x <- requant(conv(x, w))[..., :cin]."""
     flops = 2 * batch * res * res * cin * cout * 9
-    x = jnp.ones((batch, res, res, cin), dtype)
-    w = jnp.ones((3, 3, cin, cout), dtype)
+    rng = np.random.default_rng(0)
+    if dtype == jnp.int8:
+        x0 = jnp.asarray(
+            rng.integers(-100, 100, (batch, res, res, cin)), jnp.int8
+        )
+        w = jnp.asarray(rng.integers(-100, 100, (3, 3, cin, cout)), jnp.int8)
+    else:
+        x0 = jnp.asarray(rng.normal(size=(batch, res, res, cin)), dtype)
+        w = jnp.asarray(rng.normal(size=(3, 3, cin, cout)), dtype)
 
-    def step():
-        def body(c, _):
+    def step(x0, w):
+        def body(x, _):
             o = jax.lax.conv_general_dilated(
                 x, w, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=acc,
             )
-            return c + o[0, 0, 0, 0].astype(jnp.float32), None
+            return _requant(o, dtype)[..., :cin], None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
-        return c
+        x, _ = jax.lax.scan(body, x0, None, length=steps)
+        return jnp.sum(x.astype(jnp.float32))
 
-    ms = _time_chained(step, n=steps)
+    ms = _time_chained(step, (x0, w), n=steps)
     return flops / (ms / 1e3) / 1e12
 
 
 def main():
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
-    # MXU-friendly large matmul
     for name, dtype, acc in (
-        ("bf16xbf16->f32", jnp.bfloat16, jnp.float32),
-        ("int8xint8->int32", jnp.int8, jnp.int32),
+        ("bf16->f32 ", jnp.bfloat16, jnp.float32),
+        ("int8->int32", jnp.int8, jnp.int32),
     ):
-        tf = bench_matmul(8192, 4096, 8192, dtype, acc)
-        print(f"matmul {name:18s}: {tf:7.1f} TF/s")
+        tf = bench_matmul(8192, 4096, dtype, acc)
+        print(f"matmul 8192x4096x4096 {name}: {tf:7.1f} TF/s")
+        # implicit-GEMM shape of the 64x64x192 conv: M=B*H*W, K=9*Cin
+        tf = bench_matmul(64 * 64 * 64, 1728, dtype, acc)
+        print(f"matmul 262144x1728x1728 {name}: {tf:7.1f} TF/s")
 
-    # the UNet's dominant conv shapes (ImageNet-64, batch 64 incl. CFG 2x)
     for batch, res, cin, cout in (
         (64, 64, 192, 192),
         (64, 32, 384, 384),
