@@ -2,19 +2,25 @@
 
 The reference uses torch ``nn.GroupNorm(32, C, eps=1e-5)`` followed by SiLU
 (reference model.py:172-176, 190, 203-207) and, in AdaGN mode, a per-channel
-``(1 + scale) * GN(h) + shift`` modulation (model.py:199-203). On TPU the win
-is fusing the normalize + modulate + SiLU chain into one pass over the tensor
-so the activations make a single HBM round-trip; this module provides the
-reference-exact jnp implementation. A Pallas kernel with the same signature
-lives in nicediffusion_tpu.ops.pallas and is swapped in on TPU backends.
+``(1 + scale) * GN(h) + shift`` modulation (model.py:199-203).
 
-Statistics are computed in float32 regardless of input dtype (torch
-GroupNorm upcasts similarly for half inputs), matching torch's per-group
-biased variance.
+The fused Pallas kernel (ops/pallas/groupnorm.py) is OPT-IN
+(NICEDIFFUSION_PALLAS_GN=1): round-2 device traces show XLA already fuses
+the normalize/SiLU math into the surrounding conv epilogues (GN-stat
+reduces are ~3.6 ms of the 112 ms batch-64 ImageNet-64 forward), while the
+kernel's per-batch-element DMA pattern runs at ~12% of HBM bandwidth and
+adds boundary copies — net slower. Kept (with its custom-VJP and SPMD
+partitioning) for ablation and for future fusion work. The jnp
+implementation here is the numerical spec (f32 statistics, torch-style
+biased variance) and the recompute path for the kernel's backward.
+
+NICEDIFFUSION_PALLAS_INTERPRET also routes through the kernel (as
+interpreted JAX ops) so tests and the multi-chip dryrun cover it.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -23,21 +29,16 @@ import jax.numpy as jnp
 __all__ = ["group_norm", "group_norm_silu", "ada_group_norm_silu"]
 
 
-def _pallas_enabled(x) -> bool:
-    """Opt-in Pallas GN dispatch (NICEDIFFUSION_PALLAS_GN=1).
+def _interpret() -> bool:
+    return bool(os.environ.get("NICEDIFFUSION_PALLAS_INTERPRET"))
 
-    Measured on v5e: the fused kernel wins on small activations but the
-    UNet's large decoder-concat blocks exceed VMEM double-buffering limits
-    and XLA's reduce+fuse lowering is already within ~6% of the total
-    forward, so XLA remains the default (see ops/pallas/groupnorm.py).
-    """
+
+def _pallas_enabled() -> bool:
     if os.environ.get("NICEDIFFUSION_NO_PALLAS"):
         return False
+    if _interpret():
+        return True
     if not os.environ.get("NICEDIFFUSION_PALLAS_GN"):
-        return False
-    b, h, w, c = x.shape
-    # in+out double-buffered blocks must fit VMEM (~16MB scoped limit)
-    if 4 * h * w * c * x.dtype.itemsize > 12 * 1024 * 1024:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -62,6 +63,64 @@ def _plain_group_norm(x, scale, bias, num_groups=32, eps=1e-5):
     return out.astype(x.dtype)
 
 
+def _reference_fn(num_groups: int, eps: float, silu: bool, ada: bool):
+    """The jnp spec of the fused op, for backward recompute and non-TPU."""
+    if ada:
+        def ref(x, scale, bias, emb_scale, emb_shift):
+            out = _plain_group_norm(x, scale, bias, num_groups, eps).astype(
+                jnp.float32
+            )
+            out = out * (1.0 + emb_scale[:, None, None, :].astype(jnp.float32))
+            out = out + emb_shift[:, None, None, :].astype(jnp.float32)
+            if silu:
+                out = out * jax.nn.sigmoid(out)
+            return out.astype(x.dtype)
+    else:
+        def ref(x, scale, bias):
+            out = _plain_group_norm(x, scale, bias, num_groups, eps)
+            if silu:
+                out = out.astype(jnp.float32)
+                out = out * jax.nn.sigmoid(out)
+            return out.astype(x.dtype)
+    return ref
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_gn(num_groups: int, eps: float, silu: bool, ada: bool,
+              interpret: bool):
+    """custom-VJP wrapper: Pallas kernel forward (SPMD-partitionable),
+    jnp-recompute backward (pallas_call has no automatic VJP)."""
+    from .pallas.groupnorm import group_norm_fused_sharded
+
+    ref = _reference_fn(num_groups, eps, silu, ada)
+
+    if ada:
+        def impl(x, scale, bias, emb_scale, emb_shift):
+            return group_norm_fused_sharded(
+                x, scale, bias, emb_scale, emb_shift,
+                num_groups=num_groups, eps=eps, silu=silu,
+                interpret=interpret,
+            )
+    else:
+        def impl(x, scale, bias):
+            return group_norm_fused_sharded(
+                x, scale, bias, num_groups=num_groups, eps=eps, silu=silu,
+                interpret=interpret,
+            )
+
+    f = jax.custom_vjp(impl)
+
+    def fwd(*args):
+        return impl(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g.astype(res[0].dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def group_norm(
     x: jax.Array,
     scale: jax.Array,
@@ -71,11 +130,10 @@ def group_norm(
 ) -> jax.Array:
     """Plain GroupNorm over NHWC, channel groups laid out torch-style
     (channel c belongs to group c // (C/G))."""
-    if _pallas_enabled(x):
-        from .pallas.groupnorm import group_norm_fused
-
-        return group_norm_fused(x, scale, bias, num_groups=num_groups,
-                                eps=eps, silu=False)
+    if _pallas_enabled():
+        return _fused_gn(num_groups, float(eps), False, False, _interpret())(
+            x, scale, bias
+        )
     return _plain_group_norm(x, scale, bias, num_groups, eps)
 
 
@@ -87,13 +145,11 @@ def group_norm_silu(
     eps: float = 1e-5,
 ) -> jax.Array:
     """GroupNorm followed by SiLU, fused (reference model.py:190)."""
-    if _pallas_enabled(x):
-        from .pallas.groupnorm import group_norm_fused
-
-        return group_norm_fused(x, scale, bias, num_groups=num_groups,
-                                eps=eps, silu=True)
-    out = _plain_group_norm(x, scale, bias, num_groups, eps).astype(jnp.float32)
-    return (out * jax.nn.sigmoid(out)).astype(x.dtype)
+    if _pallas_enabled():
+        return _fused_gn(num_groups, float(eps), True, False, _interpret())(
+            x, scale, bias
+        )
+    return _reference_fn(num_groups, eps, True, False)(x, scale, bias)
 
 
 def ada_group_norm_silu(
@@ -110,13 +166,10 @@ def ada_group_norm_silu(
 
     Matches reference model.py:199-203 followed by the SiLU at model.py:207.
     """
-    if _pallas_enabled(x):
-        from .pallas.groupnorm import group_norm_fused
-
-        return group_norm_fused(x, scale, bias, emb_scale, emb_shift,
-                                num_groups=num_groups, eps=eps, silu=True)
-    out = _plain_group_norm(x, scale, bias, num_groups, eps).astype(jnp.float32)
-    out = out * (1.0 + emb_scale[:, None, None, :].astype(jnp.float32)) + (
-        emb_shift[:, None, None, :].astype(jnp.float32)
+    if _pallas_enabled():
+        return _fused_gn(num_groups, float(eps), True, True, _interpret())(
+            x, scale, bias, emb_scale, emb_shift
+        )
+    return _reference_fn(num_groups, eps, True, True)(
+        x, scale, bias, emb_scale, emb_shift
     )
-    return (out * jax.nn.sigmoid(out)).astype(x.dtype)

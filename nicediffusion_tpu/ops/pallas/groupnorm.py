@@ -1,22 +1,33 @@
-"""Fused GroupNorm (+SiLU, +AdaGN scale-shift) Pallas TPU kernel.
+"""Fused GroupNorm (+SiLU, +AdaGN scale-shift) Pallas TPU kernel — OPT-IN.
 
-The UNet normalizes every residual-block activation twice plus once per
-attention block (reference model.py:172-176, 250). XLA lowers GroupNorm as a
-reduce pass followed by a normalize/affine fusion — at least two full HBM
-reads of the activation plus materialised f32 temporaries. This kernel
-streams each batch element's tokens through VMEM **twice within one grid
-row** (phase 0: accumulate per-channel sum / sum-of-squares into VMEM
-scratch; phase 1: normalize + affine + AdaGN + SiLU and write out), so the
-activation makes exactly two HBM reads and one write with no f32
-temporaries in HBM.
+Round-2 measurement note: correctly-classified device traces show XLA
+already handles GN well in this model (stat reduces ~3.6 ms of the 112 ms
+batch-64 ImageNet-64 forward; the normalize/SiLU math fuses into conv
+epilogues), while this kernel's one-example-per-program DMA pattern runs at
+~12% of HBM bandwidth (per-transfer latency dominates the small blocks) and
+its call boundaries add copies — making the forward net slower (147 ms when
+used everywhere). It stays opt-in (NICEDIFFUSION_PALLAS_GN=1) for ablation;
+the dispatch, custom-VJP, and SPMD plumbing in ops/groupnorm.py are kept
+correct and tested via interpret mode.
 
-Mosaic cannot reshape the lane (channel) dimension, so the per-group
-reduce/broadcast of the (1, C) statistics goes through a 0/1 channel→group
-matrix on the MXU — exact integer-weight sums, bit-identical to a reshape
-reduce.
+The kernel makes each GN exactly one HBM read + one write: grid over the
+batch, each program holds one example's (HW, C) tokens in VMEM, accumulates
+per-channel sum/sum-of-squares in f32 (pass 1), folds channels into groups
+via a 0/1 matmul (Mosaic cannot reshape the lane dimension), then
+normalizes + modulates + SiLU in place (pass 2).
 
-Stats accumulate in float32 regardless of input dtype, matching the jnp
-reference implementation (ops/groupnorm.py).
+VMEM budgeting (the round-1 pitfall): in/out blocks are double-buffered by
+default, which overflows the ~16 MB budget for the large decoder-concat
+blocks ((4096, 576) bf16 = 4.7 MB each). Blocks above a threshold switch to
+single buffering (pl.Buffered(1)) — GN is pure-bandwidth work, so losing
+cross-example DMA overlap costs far less than falling back to XLA's 30x
+slower lowering. Chunk loops are fori_loops so Mosaic reuses one set of
+temporaries (round-1 lesson: python-unrolled loops defeat temp reuse).
+
+Differentiation: the public entry is wrapped in ops/groupnorm.py with a
+custom VJP (backward recomputes via the jnp reference path). SPMD: a
+custom_partitioning rule keeps P('data')-sharded batches shard-local,
+mirroring ops/pallas/attention.py.
 """
 
 from __future__ import annotations
@@ -28,9 +39,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["group_norm_fused"]
+__all__ = ["group_norm_fused", "group_norm_fused_sharded"]
 
-_CHUNK = 512  # tokens per grid step; bounds VMEM at ~C * 512 * 6 bytes
+_CHUNK = 512  # tokens per inner step; bounds f32 temporaries at ~C*512*8B
+# above this per-block byte size, in/out switch to single buffering so
+# (in + out) * buffers stays inside the ~16 MB VMEM budget
+_SINGLE_BUFFER_BYTES = 3_500_000
 
 
 @functools.partial(
@@ -53,7 +67,8 @@ def group_norm_fused(
 
     x: (B, H, W, C); scale/bias: (C,); emb_scale/emb_shift: (B, C) or None.
     Semantics identical to ops/groupnorm.py's group_norm /
-    group_norm_silu / ada_group_norm_silu.
+    group_norm_silu / ada_group_norm_silu (f32 statistics, torch-style
+    biased variance, channel c in group c // (C/G)).
     """
     b, h, w, c = x.shape
     ada = emb_scale is not None
@@ -82,14 +97,20 @@ def group_norm_fused(
         gr_i = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
         m = (ch_i // cg == gr_i).astype(jnp.float32)  # (C, G)
 
-        # pass 1 over VMEM-resident slices: per-channel sum / sum-of-squares
-        # accumulated in f32 without materialising a full-block f32 temp
-        s1 = jnp.zeros((1, c), dtype=jnp.float32)
-        s2 = jnp.zeros((1, c), dtype=jnp.float32)
-        for s in range(nc):
-            xk = x_ref[0, s * chunk : (s + 1) * chunk, :].astype(jnp.float32)
-            s1 = s1 + jnp.sum(xk, axis=0, keepdims=True)
-            s2 = s2 + jnp.sum(xk * xk, axis=0, keepdims=True)
+        # pass 1: per-channel sum / sum-of-squares in f32 (fori_loop so
+        # Mosaic reuses one set of chunk temporaries)
+        def stat_body(s, carry):
+            s1, s2 = carry
+            xk = x_ref[0, pl.ds(s * chunk, chunk), :].astype(jnp.float32)
+            return (
+                s1 + jnp.sum(xk, axis=0, keepdims=True),
+                s2 + jnp.sum(xk * xk, axis=0, keepdims=True),
+            )
+
+        s1, s2 = jax.lax.fori_loop(
+            0, nc, stat_body,
+            (jnp.zeros((1, c), jnp.float32), jnp.zeros((1, c), jnp.float32)),
+        )
 
         denom = hw * cg  # true token count (padding is zeros)
         gs1 = jnp.dot(s1, m, preferred_element_type=jnp.float32)
@@ -107,21 +128,32 @@ def group_norm_fused(
             eshf = esh_ref[0, 0].astype(jnp.float32)[None, :]
 
         # pass 2 over the same VMEM block: normalize + modulate + SiLU
-        for s in range(nc):
-            xk = x_ref[0, s * chunk : (s + 1) * chunk, :].astype(jnp.float32)
+        def apply_body(s, _):
+            xk = x_ref[0, pl.ds(s * chunk, chunk), :].astype(jnp.float32)
             y = (xk - mean_c) * (rstd_c * sc) + bi
             if ada:
                 y = y * (1.0 + esf) + eshf
             if silu:
                 y = y * jax.nn.sigmoid(y)
-            o_ref[0, s * chunk : (s + 1) * chunk, :] = y.astype(o_ref.dtype)
+            o_ref[0, pl.ds(s * chunk, chunk), :] = y.astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, nc, apply_body, 0)
+
+    block_bytes = hw_p * c * x.dtype.itemsize
+    if block_bytes > _SINGLE_BUFFER_BYTES:
+        mode = pl.Buffered(buffer_count=1)
+        semantics = ("arbitrary",)
+    else:
+        mode = None  # default double buffering; batch programs independent
+        semantics = ("parallel",)
 
     out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hw_p, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, pipeline_mode=mode),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
@@ -130,11 +162,93 @@ def group_norm_fused(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hw_p, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+                               memory_space=pltpu.VMEM, pipeline_mode=mode),
         out_shape=jax.ShapeDtypeStruct((b, hw_p, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=semantics
         ),
         interpret=interpret,
     )(xt, scale, bias, es, esh)
     return out[:, :hw, :].reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning: grid is over batch, so the kernel partitions trivially
+# along dim 0 of x / emb_scale / emb_shift with scale/bias replicated —
+# same pattern as ops/pallas/attention.py.
+# ---------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+def _batch_only(mesh, sharding, ndim: int) -> NamedSharding:
+    batch = None
+    spec = getattr(sharding, "spec", None)
+    if spec is not None and len(spec) > 0:
+        batch = spec[0]
+    return NamedSharding(mesh, P(batch, *([None] * (ndim - 1))))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_gn(num_groups: int, eps: float, silu: bool, ada: bool,
+                interpret: bool):
+    if ada:
+        def impl(x, scale, bias, es, esh):
+            return group_norm_fused(
+                x, scale, bias, es, esh, num_groups=num_groups, eps=eps,
+                silu=silu, interpret=interpret,
+            )
+    else:
+        def impl(x, scale, bias):
+            return group_norm_fused(
+                x, scale, bias, num_groups=num_groups, eps=eps, silu=silu,
+                interpret=interpret,
+            )
+
+    fn = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        xsh = _batch_only(mesh, arg_shapes[0].sharding, 4)
+        repl = NamedSharding(mesh, P())
+        if ada:
+            bsh = _batch_only(mesh, arg_shapes[0].sharding, 2)
+            return mesh, impl, xsh, (xsh, repl, repl, bsh, bsh)
+        return mesh, impl, xsh, (xsh, repl, repl)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _batch_only(mesh, arg_shapes[0].sharding, 4)
+
+    if ada:
+        rule = "b h w c, c1, c2, b e, b f -> b h w c"
+        need_repl = ("h", "w", "c", "c1", "c2", "e", "f")
+    else:
+        rule = "b h w c, c1, c2 -> b h w c"
+        need_repl = ("h", "w", "c", "c1", "c2")
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=rule,
+        need_replication_factors=need_repl,
+    )
+    return fn
+
+
+def group_norm_fused_sharded(
+    x, scale, bias, emb_scale=None, emb_shift=None, *,
+    num_groups: int = 32, eps: float = 1e-5, silu: bool = True,
+    interpret: bool = False,
+):
+    """group_norm_fused, partitionable along batch under SPMD jit."""
+    ada = emb_scale is not None
+    if len(jax.devices()) == 1:
+        return group_norm_fused(
+            x, scale, bias, emb_scale, emb_shift, num_groups=num_groups,
+            eps=eps, silu=silu, interpret=interpret,
+        )
+    fn = _sharded_gn(num_groups, float(eps), silu, ada, interpret)
+    if ada:
+        return fn(x, scale, bias, emb_scale, emb_shift)
+    return fn(x, scale, bias)

@@ -143,3 +143,67 @@ def test_pallas_attention_bf16(rng_np):
         np.asarray(ref, dtype=np.float32),
         atol=3e-2,  # bf16 accumulation differences
     )
+
+
+def test_groupnorm_dispatch_and_gradients(rng_np, monkeypatch):
+    """The default-on GN dispatch (round 2): forward through the kernel
+    (interpret mode) and gradients through the custom-VJP recompute must
+    both match the jnp reference path."""
+    from nicediffusion_tpu.ops import groupnorm as gn
+
+    x = jnp.asarray(rng_np.normal(size=(2, 8, 8, 64)).astype(np.float32))
+    sc = jnp.asarray(rng_np.normal(size=(64,)).astype(np.float32))
+    bi = jnp.asarray(rng_np.normal(size=(64,)).astype(np.float32))
+    es = jnp.asarray(0.1 * rng_np.normal(size=(2, 64)).astype(np.float32))
+    eh = jnp.asarray(0.1 * rng_np.normal(size=(2, 64)).astype(np.float32))
+
+    def loss_ada(x, sc, bi, es, eh):
+        return jnp.sum(jnp.sin(gn.ada_group_norm_silu(x, sc, bi, es, eh)))
+
+    def loss_silu(x, sc, bi):
+        return jnp.sum(jnp.sin(gn.group_norm_silu(x, sc, bi)))
+
+    monkeypatch.setenv("NICEDIFFUSION_NO_PALLAS", "1")
+    ref_out = gn.ada_group_norm_silu(x, sc, bi, es, eh)
+    ref_grads = jax.grad(loss_ada, argnums=(0, 1, 2, 3, 4))(x, sc, bi, es, eh)
+    ref_gsilu = jax.grad(loss_silu)(x, sc, bi)
+    monkeypatch.delenv("NICEDIFFUSION_NO_PALLAS")
+
+    monkeypatch.setenv("NICEDIFFUSION_PALLAS_INTERPRET", "1")
+    out = gn.ada_group_norm_silu(x, sc, bi, es, eh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+    grads = jax.grad(loss_ada, argnums=(0, 1, 2, 3, 4))(x, sc, bi, es, eh)
+    for a, b in zip(grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+    gsilu = jax.grad(loss_silu)(x, sc, bi)
+    np.testing.assert_allclose(
+        np.asarray(gsilu), np.asarray(ref_gsilu), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_groupnorm_large_block_single_buffer(rng_np, monkeypatch):
+    """Blocks above the single-buffer threshold (the decoder-concat shapes
+    that OOM'd VMEM in round 1) still produce exact results."""
+    from nicediffusion_tpu.ops import groupnorm as gn
+    from nicediffusion_tpu.ops.pallas import groupnorm as pgn
+
+    assert 2 * 64 * 64 * 576 * 2 > pgn._SINGLE_BUFFER_BYTES
+    x = jnp.asarray(
+        rng_np.normal(size=(1, 64, 64, 576)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    sc = jnp.asarray(rng_np.normal(size=(576,)).astype(np.float32))
+    bi = jnp.asarray(rng_np.normal(size=(576,)).astype(np.float32))
+
+    monkeypatch.setenv("NICEDIFFUSION_NO_PALLAS", "1")
+    ref = gn.group_norm_silu(x, sc, bi)
+    monkeypatch.delenv("NICEDIFFUSION_NO_PALLAS")
+    monkeypatch.setenv("NICEDIFFUSION_PALLAS_INTERPRET", "1")
+    out = gn.group_norm_silu(x, sc, bi)
+    # bf16 output: chunked f32 stat accumulation differs from the reference
+    # by 1-2 ulps on ~0.1% of elements
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=1e-2, atol=3e-2,
+    )

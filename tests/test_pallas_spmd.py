@@ -164,3 +164,33 @@ def test_dp_train_step_with_pallas(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6
         )
+
+
+def test_groupnorm_sharded_no_gather():
+    """The fused GN partitions along batch: sharded output == reference,
+    no all-gather in the compiled program."""
+    from nicediffusion_tpu.ops import groupnorm as gn
+
+    mesh = make_mesh(num_data=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 64))
+    sc = jax.random.normal(jax.random.PRNGKey(1), (64,))
+    bi = jax.random.normal(jax.random.PRNGKey(2), (64,))
+    es = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (16, 64))
+    eh = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (16, 64))
+
+    import os
+
+    os.environ["NICEDIFFUSION_NO_PALLAS"] = "1"
+    try:
+        ref = gn.ada_group_norm_silu(x, sc, bi, es, eh)
+    finally:
+        del os.environ["NICEDIFFUSION_NO_PALLAS"]
+
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data")))
+    es_s = jax.device_put(es, NamedSharding(mesh, P("data")))
+    eh_s = jax.device_put(eh, NamedSharding(mesh, P("data")))
+    f = jax.jit(lambda x, es, eh: gn.ada_group_norm_silu(x, sc, bi, es, eh))
+    out = f(x_s, es_s, eh_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    assert out.sharding.spec[0] == "data"
+    assert "all-gather" not in f.lower(x_s, es_s, eh_s).compile().as_text()
