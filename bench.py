@@ -8,7 +8,8 @@ Configuration (env overrides):
   BENCH_STEPS   sampling steps (default 250, the 250-step DDPM metric)
   BENCH_BATCH   per-chip batch size (default 32)
   BENCH_CFG     1 = classifier-free guidance (doubled-batch UNet), default 1
-  BENCH_DTYPE   bfloat16 (default) | float32
+  BENCH_DTYPE   bfloat16 (default) | float32 | int8 (quantized conv
+                serving path; value reported with an _int8 metric suffix)
   BENCH_SAMPLER ddpm (default) | ddim   (BENCH_SAMPLER=ddim BENCH_STEPS=50
                 gives the secondary DDIM-50 wall-clock metric)
   BENCH_TRACE   set to a directory to capture a jax.profiler device trace
@@ -37,11 +38,9 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 250))
     batch = int(os.environ.get("BENCH_BATCH", 32))
     use_cfg = os.environ.get("BENCH_CFG", "1") == "1"
-    dtype = (
-        jnp.float32
-        if os.environ.get("BENCH_DTYPE", "bfloat16") == "float32"
-        else jnp.bfloat16
-    )
+    dtype_flag = os.environ.get("BENCH_DTYPE", "bfloat16")
+    quantized = dtype_flag == "int8"
+    dtype = jnp.float32 if dtype_flag == "float32" else jnp.bfloat16
 
     from nicediffusion_tpu.diffusion.process import Diffusion
     from nicediffusion_tpu.models.unet import DiffusionModel
@@ -50,7 +49,7 @@ def main():
     mcfg = dict(MODEL_PRESETS["openai_64"])
     if use_cfg:
         mcfg["num_classes"] += 1  # null class for CFG
-    model = DiffusionModel(**mcfg, dtype=dtype)
+    model = DiffusionModel(**mcfg, dtype=dtype, quantized=quantized)
 
     use_ddim = os.environ.get("BENCH_SAMPLER", "ddpm") == "ddim"
     dcfg = dict(DIFFUSION_PRESETS["openai_64"])
@@ -131,6 +130,7 @@ def main():
                 "metric": (
                     f"imagenet64_{'ddim' if use_ddim else 'ddpm'}{steps}"
                     + ("_cfg" if use_cfg else "")
+                    + ("_int8" if quantized else "")
                     + "_samples_per_sec_per_chip"
                 ),
                 "value": round(samples_per_sec, 4),

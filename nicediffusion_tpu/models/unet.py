@@ -49,7 +49,46 @@ from ..ops.resize import avg_pool_2x, resize_bilinear, upsample_nearest_2x
 __all__ = ["DiffusionModel", "SuperResolutionModel"]
 
 
-def _conv(features, kernel, stride=1, zero_init=False, dtype=None, name=None):
+class Int8Conv(nn.Module):
+    """Conv with int8 x int8 -> int32 MXU compute (serving fast path).
+
+    Holds the exact same parameters ('kernel' HWIO f32, 'bias') as nn.Conv,
+    so checkpoints load unchanged; weights are quantized per output channel
+    and activations dynamically per tensor inside the op (ops/quant.py).
+    Opt-in and lossy — see scripts/sample.py --dtype int8.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    zero_init: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_conv
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return int8_conv(
+            x, kernel, bias=bias, stride=self.stride,
+            out_dtype=self.dtype or x.dtype,
+        )
+
+
+def _conv(features, kernel, stride=1, zero_init=False, dtype=None, name=None,
+          quantized=False):
+    if quantized:
+        return Int8Conv(
+            features=features, kernel_size=kernel, stride=stride,
+            zero_init=zero_init, dtype=dtype, name=name,
+        )
     k = (kernel, kernel)
     pad = ((kernel // 2, kernel // 2),) * 2
     return nn.Conv(
@@ -95,13 +134,15 @@ class Upsample(nn.Module):
     out_channels: int | None = None
     with_conv: bool = True
     dtype: jnp.dtype | None = None
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = upsample_nearest_2x(x)
         if self.with_conv:
             features = self.out_channels if self.out_channels is not None else x.shape[-1]
-            x = _conv(features, 3, dtype=self.dtype, name="conv")(x)
+            x = _conv(features, 3, dtype=self.dtype, name="conv",
+                      quantized=self.quantized)(x)
         return x
 
 
@@ -111,12 +152,14 @@ class Downsample(nn.Module):
     out_channels: int | None = None
     with_conv: bool = True
     dtype: jnp.dtype | None = None
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
         if self.with_conv:
             features = self.out_channels if self.out_channels is not None else x.shape[-1]
-            return _conv(features, 3, stride=2, dtype=self.dtype, name="conv")(x)
+            return _conv(features, 3, stride=2, dtype=self.dtype, name="conv",
+                         quantized=self.quantized)(x)
         return avg_pool_2x(x)
 
 
@@ -137,6 +180,7 @@ class ResidualBlock(nn.Module):
     use_adaptive_gn: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype | None = None
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -152,7 +196,8 @@ class ResidualBlock(nn.Module):
         elif self.downsample:
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
-        h = _conv(out_ch, 3, dtype=self.dtype, name="in_conv")(h)
+        h = _conv(out_ch, 3, dtype=self.dtype, name="in_conv",
+                  quantized=self.quantized)(h)
 
         # timestep embedding: SiLU then Linear (reference model.py:197)
         emb = nn.silu(emb)
@@ -168,14 +213,17 @@ class ResidualBlock(nn.Module):
             h = GroupNormOp(out_ch, mode="silu", name="out_norm")(h)
 
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = _conv(out_ch, 3, zero_init=True, dtype=self.dtype, name="out_conv")(h)
+        h = _conv(out_ch, 3, zero_init=True, dtype=self.dtype,
+                  name="out_conv", quantized=self.quantized)(h)
 
         if out_ch == in_ch:
             skip = x
         elif self.use_conv:
-            skip = _conv(out_ch, 3, dtype=self.dtype, name="skip")(x)
+            skip = _conv(out_ch, 3, dtype=self.dtype, name="skip",
+                         quantized=self.quantized)(x)
         else:
-            skip = _conv(out_ch, 1, dtype=self.dtype, name="skip")(x)
+            skip = _conv(out_ch, 1, dtype=self.dtype, name="skip",
+                         quantized=self.quantized)(x)
         return h + skip
 
 
@@ -293,6 +341,10 @@ class DiffusionModel(nn.Module):
     split_qkv_first: bool = True
     use_remat: bool = False
     dtype: jnp.dtype | None = None
+    # int8 serving fast path: conv compute via int8 MXU MACs with dynamic
+    # quantization (ops/quant.py). Opt-in, lossy; the stem/head convs and
+    # attention stay in the float path. Parameters are unchanged.
+    quantized: bool = False
 
     @property
     def conditional(self) -> bool:
@@ -322,6 +374,7 @@ class DiffusionModel(nn.Module):
                 use_adaptive_gn=self.use_adaptive_gn,
                 dropout=self.dropout,
                 dtype=dtype,
+                quantized=self.quantized,
             )
 
         def make_attn():
@@ -357,7 +410,8 @@ class DiffusionModel(nn.Module):
                     downsampling.append(
                         StepSequential(
                             [Downsample(out_channels=curr_channels,
-                                        with_conv=self.conv_resample, dtype=dtype)]
+                                        with_conv=self.conv_resample, dtype=dtype,
+                                        quantized=self.quantized)]
                         )
                     )
                 input_block_channels.append(curr_channels)
@@ -384,7 +438,8 @@ class DiffusionModel(nn.Module):
                     else:
                         layers.append(
                             Upsample(out_channels=curr_channels,
-                                     with_conv=self.conv_resample, dtype=dtype)
+                                     with_conv=self.conv_resample, dtype=dtype,
+                                     quantized=self.quantized)
                         )
                     curr_res *= 2
                 upsampling.append(StepSequential(layers))

@@ -62,10 +62,12 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
         g.add_argument("--cpu", action="store_true", default=False,
                        help="force CPU instead of auto-detecting TPU")
         g.add_argument("--dtype", type=str, default="auto", metavar=o,
-                       choices=("auto", "bfloat16", "float32"),
+                       choices=("auto", "bfloat16", "float32", "int8"),
                        help="model compute dtype: 'auto' picks bfloat16 on "
                             "TPU (the benchmarked fast path) and float32 on "
-                            "CPU/--cpu (parity with the fp32 reference)")
+                            "CPU/--cpu (parity with the fp32 reference); "
+                            "'int8' enables the quantized conv serving path "
+                            "(fastest, slightly lossy)")
     else:
         g = parser.add_argument_group(
             "training arguments", "arguments for training process"

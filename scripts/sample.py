@@ -71,17 +71,21 @@ def main():
     SAVE_PATH = other_args["save_path"]
 
     # compute dtype: bf16 is the benchmarked TPU fast path (~2x the f32
-    # sampler throughput); f32 preserved for CPU / --cpu numerical parity
+    # sampler throughput); f32 preserved for CPU / --cpu numerical parity;
+    # int8 = quantized conv serving path (bf16 elsewhere, slightly lossy)
     dtype_flag = other_args.get("dtype", "auto")
+    quantized = dtype_flag == "int8"
     if dtype_flag == "auto":
         on_tpu = not other_args["cpu"] and jax.default_backend() == "tpu"
         dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    elif quantized:
+        dtype = jnp.bfloat16
     else:
         dtype = jnp.dtype(dtype_flag)
     if WORDY:
-        print(f"Computing in {jnp.dtype(dtype).name}")
+        print(f"Computing in {'int8/' if quantized else ''}{jnp.dtype(dtype).name}")
 
-    model = DiffusionModel(**model_args, dtype=dtype)
+    model = DiffusionModel(**model_args, dtype=dtype, quantized=quantized)
     params = load_params(other_args["model_path"])
     params = jax.tree.map(jnp.asarray, params)
 

@@ -75,3 +75,43 @@ def test_int8_dense_preserves_dtype():
     x = jnp.ones((2, 8), jnp.bfloat16)
     w = jnp.ones((8, 4))
     assert int8_dense(x, w).dtype == jnp.bfloat16
+
+
+def test_quantized_unet_param_compat_and_accuracy(rng_np):
+    """quantized=True keeps the exact parameter tree (checkpoints load
+    unchanged) and its forward closely tracks the float forward."""
+    from nicediffusion_tpu.models.unet import DiffusionModel
+
+    cfg = dict(
+        resolution=16, in_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+        num_heads=2, num_classes=4, use_adaptive_gn=True,
+        resblock_updown=True,
+    )
+    m_f = DiffusionModel(**cfg)
+    m_q = DiffusionModel(**cfg, quantized=True)
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    t = jnp.array([3, 7], jnp.int32)
+    y = jnp.array([1, 2], jnp.int32)
+    params = m_f.init(jax.random.PRNGKey(0), x, t, y)["params"]
+    params_q = m_q.init(jax.random.PRNGKey(0), x, t, y)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_q)
+    # randomise (zero-init output convs would make the forward all-zero)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+
+    ref = np.asarray(m_f.apply({"params": params}, x, t, y))
+    out = np.asarray(m_q.apply({"params": params}, x, t, y))
+    assert np.isfinite(out).all()
+    # lossy but strongly correlated; eps-prediction scale ~ N(0,1)-ish
+    denom = ref.std() + 1e-6
+    assert np.abs(out - ref).max() / denom < 0.35, (
+        np.abs(out - ref).max() / denom
+    )
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.99, corr
