@@ -51,11 +51,12 @@ def main():
         mcfg["num_classes"] += 1  # null class for CFG
     model = DiffusionModel(**mcfg, dtype=dtype, quantized=quantized)
 
-    use_ddim = os.environ.get("BENCH_SAMPLER", "ddpm") == "ddim"
+    sampler = os.environ.get("BENCH_SAMPLER", "ddpm")  # ddpm | ddim | dpm++
     dcfg = dict(DIFFUSION_PRESETS["openai_64"])
     dcfg.update(
         rescaled_num_steps=steps,
-        use_ddim=use_ddim,
+        sampler=sampler,
+        use_ddim=sampler == "ddim",
         ddim_eta=0.0,
         guidance_method="classifier_free" if use_cfg else None,
         guidance_strength=0.8 if use_cfg else None,

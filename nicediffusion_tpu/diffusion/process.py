@@ -126,6 +126,7 @@ class Diffusion:
         use_ddim: bool = False,
         ddim_eta: float | None = None,
         clip_x: bool = True,
+        sampler: str | None = None,
     ):
         if guidance_method not in (None, "classifier", "classifier_free"):
             raise NotImplementedError(guidance_method)
@@ -133,6 +134,18 @@ class Diffusion:
             assert model.conditional, "can only use guidance if model is conditional"
         if use_ddim:
             assert ddim_eta is not None, "please supply eta if you want to use ddim"
+        # `sampler` supersedes the reference's boolean use_ddim flag:
+        # 'ddpm' (ancestral), 'ddim' (eq. 12), or 'dpm++' (DPM-Solver++(2M),
+        # a 2nd-order multistep ODE solver — TPU-native capability extension
+        # with no reference analogue; same per-step cost as DDIM but ~2-4x
+        # fewer steps for equal sample quality).
+        if sampler is None:
+            sampler = "ddim" if use_ddim else "ddpm"
+        if sampler not in ("ddpm", "ddim", "dpm++"):
+            raise NotImplementedError(sampler)
+        if sampler == "ddim" and ddim_eta is None:
+            ddim_eta = 0.0
+        self.sampler = sampler
 
         self.model = model
         self.guidance = guidance_method
@@ -169,6 +182,39 @@ class Diffusion:
         self._log_betas = as32(s.log_betas)
         self._log_var_large = as32(s.log_var_large)
         self._log_var_small = as32(s.log_var_small)
+
+        # DPM-Solver++(2M) per-step coefficient tables, precomputed on the
+        # host in float64 (like every other schedule table) so the t==0
+        # boundary (sigma_prev == 0, h -> inf) is resolved exactly with no
+        # inf/nan arithmetic inside the compiled scan. With the half-log-SNR
+        # lambda_t = log(alpha_t / sigma_t), the t -> t-1 transition is
+        #   x <- (sigma_prev / sigma_t) * x + alpha_prev * (1 - e^{-h}) * D
+        #   D  = (1 + m_t) * x0_t - m_t * x0_{t+1},  m_t = h_t / (2 h_{t+1})
+        # (DPM-Solver++ eq. 4.3/4.4 in multistep form). m is forced to 0 at
+        # the first step (no history) and the last (first-order final step,
+        # standard practice since h_0 = inf).
+        acp64 = np.asarray(s.alphas_cumprod, dtype=np.float64)
+        acp_prev64 = np.asarray(s.alphas_cumprod_prev, dtype=np.float64)
+        alpha_t = np.sqrt(acp64)
+        sigma_t = np.sqrt(1.0 - acp64)
+        alpha_p = np.sqrt(acp_prev64)
+        sigma_p = np.sqrt(1.0 - acp_prev64)
+        # e^{-h} = (sigma_prev * alpha_t) / (sigma_t * alpha_prev): exactly 0
+        # at t==0 where sigma_prev == 0
+        exp_mh = (sigma_p * alpha_t) / (sigma_t * alpha_p)
+        n = len(acp64)
+        with np.errstate(divide="ignore"):
+            lam = 0.5 * np.log(acp64 / (1.0 - acp64))
+            lam_p = 0.5 * np.log(
+                acp_prev64 / np.maximum(1.0 - acp_prev64, 1e-300)
+            )
+        h = lam_p - lam  # h[0] may be inf (unused: m[0] = 0)
+        m = np.zeros(n, dtype=np.float64)
+        if n > 2:
+            m[1 : n - 1] = h[1 : n - 1] / (2.0 * h[2:n])
+        self._dpmpp_c_xt = as32(sigma_p / sigma_t)
+        self._dpmpp_c_d = as32(alpha_p * (1.0 - exp_mh))
+        self._dpmpp_m = as32(m)
 
         # Extra static kwargs forwarded to every model call (e.g.
         # low_res=<image batch> to drive a SuperResolutionModel — a sampling
@@ -365,12 +411,49 @@ class Diffusion:
         sample = mean + mask * jnp.sqrt(var) * noise
         return sample.astype(jnp.float32), pred_x0
 
+    def dpmpp_step(self, params, x_t, t, x0_prev, y=None, first=False):
+        """One DPM-Solver++(2M) multistep update (deterministic).
+
+        `x0_prev` is the previous step's pred_x0; `first` marks the first
+        executed step, where no history exists and the update falls back to
+        first order (m forced to 0 — needed when a partial denoise starts
+        mid-chain at an index whose table m is nonzero). Returns
+        (x_next, pred_x0); thread pred_x0 back in as the next step's
+        x0_prev. Classifier guidance applies to eps, as in the DDIM branch
+        (reference diffusion.py:330-337). No reference analogue — capability
+        extension.
+        """
+        eps, _ = self._guided_eps(params, x_t, t, y, want_log_var=False)
+        if self.guidance == "classifier":
+            grad = self._classifier_grad(x_t, t, y)
+            eps = eps - self.strength * grad * _bcast(self._sqrt_1macp, t, x_t.ndim)
+
+        pred_x0 = (
+            _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
+            - _bcast(self._sqrt_recipm1_acp, t, x_t.ndim) * eps
+        )
+        if self.clip_x:
+            pred_x0 = jnp.clip(pred_x0, -1, 1)
+
+        m = _bcast(self._dpmpp_m, t, x_t.ndim)
+        m = jnp.where(first, jnp.zeros_like(m), m)
+        d = (1.0 + m) * pred_x0 - m * x0_prev
+        x_next = (
+            _bcast(self._dpmpp_c_xt, t, x_t.ndim) * x_t
+            + _bcast(self._dpmpp_c_d, t, x_t.ndim) * d
+        )
+        return x_next.astype(jnp.float32), pred_x0
+
     # ------------------------------------------------------------------
     # Full reverse chain as a single jitted scan
     # ------------------------------------------------------------------
 
     def _make_sampler(self, steps_to_do: int, progress: bool):
-        step_fn = self.ddim_step if self.use_ddim else self.ddpm_step
+        step_fn = {
+            "ddpm": self.ddpm_step,
+            "ddim": self.ddim_step,
+            "dpm++": None,  # multistep: dedicated scan body below
+        }[self.sampler]
 
         if progress:
             # host-side tqdm ticked from inside the compiled scan — keeps the
@@ -387,6 +470,26 @@ class Diffusion:
                 bars["bar"].update(1)
                 if bars["bar"].n >= steps_to_do:
                     bars.pop("bar").close()
+
+        if self.sampler == "dpm++":
+
+            def sampler(params, rng, x, y):
+                def body(carry, t_scalar):
+                    xc, x0_prev = carry
+                    t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
+                    xc, x0 = self.dpmpp_step(
+                        params, xc, t, x0_prev, y,
+                        first=t_scalar == steps_to_do - 1,
+                    )
+                    if progress:
+                        jax.debug.callback(_tick, t_scalar, ordered=False)
+                    return (xc, x0), None
+
+                ts = jnp.arange(steps_to_do - 1, -1, -1)
+                (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), ts)
+                return x
+
+            return jax.jit(sampler)
 
         def sampler(params, rng, x, y):
             def body(carry, t_scalar):

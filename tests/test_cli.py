@@ -12,10 +12,17 @@ from nicediffusion.utils import (
 from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
 
 
+# diffusion-arg keys we deliberately add beyond the reference CLI
+# (documented capability extensions); stripped before exact-dict parity
+_EXTENSION_DIFF_KEYS = {"sampler"}
+
+
 def _both(prog, argv):
     ours = get_dicts_from_args(make_argparser(prog).parse_args(argv))
     theirs = ref_get_dicts(ref_make_argparser(prog).parse_args(argv))
-    return ours, theirs
+    o, m, d = ours
+    d = {k: v for k, v in d.items() if k not in _EXTENSION_DIFF_KEYS}
+    return (o, m, d), theirs
 
 
 @pytest.mark.parametrize(
