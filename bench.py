@@ -129,7 +129,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"imagenet64_{'ddim' if use_ddim else 'ddpm'}{steps}"
+                    f"imagenet64_{sampler.replace('+', 'p')}{steps}"
                     + ("_cfg" if use_cfg else "")
                     + ("_int8" if quantized else "")
                     + "_samples_per_sec_per_chip"
