@@ -10,8 +10,10 @@ Configuration (env overrides):
   BENCH_CFG     1 = classifier-free guidance (doubled-batch UNet), default 1
   BENCH_DTYPE   bfloat16 (default) | float32 | int8 (quantized conv
                 serving path; value reported with an _int8 metric suffix)
-  BENCH_SAMPLER ddpm (default) | ddim   (BENCH_SAMPLER=ddim BENCH_STEPS=50
-                gives the secondary DDIM-50 wall-clock metric)
+  BENCH_SAMPLER ddpm (default) | ddim | dpm++   (BENCH_SAMPLER=ddim
+                BENCH_STEPS=50 gives the secondary DDIM-50 metric)
+  BENCH_ENC_CACHE  k > 1 reuses encoder features for k-1 of every k steps
+                ("Faster Diffusion" serving mode; lossy; _enck suffix)
   BENCH_TRACE   set to a directory to capture a jax.profiler device trace
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is computed
@@ -80,9 +82,18 @@ def main():
     )
     y = jnp.arange(batch, dtype=jnp.int32) % 1000
 
-    # warm-up / compile
-    out = diffusion.denoise(params, rng, y=y, batch_size=batch)
-    out.block_until_ready()
+    enc_cache = int(os.environ.get("BENCH_ENC_CACHE", 0)) or None
+
+    # warm-up / compile. NOTE: completion is forced by fetching a scalar,
+    # not block_until_ready() — through the axon relay block_until_ready
+    # can return before device execution finishes, which inflates short-
+    # chain measurements badly (the scalar device->host fetch is the same
+    # trustworthy method tools/perf_probe.py uses; the device queue
+    # serializes the runs, so one final fetch covers all of them).
+    out = diffusion.denoise(
+        params, rng, y=y, batch_size=batch, encoder_cache=enc_cache
+    )
+    float(jnp.mean(out))
 
     # timed runs
     runs = int(os.environ.get("BENCH_RUNS", 3))
@@ -92,9 +103,10 @@ def main():
     t0 = time.perf_counter()
     for i in range(runs):
         out = diffusion.denoise(
-            params, jax.random.fold_in(rng, i), y=y, batch_size=batch
+            params, jax.random.fold_in(rng, i), y=y, batch_size=batch,
+            encoder_cache=enc_cache,
         )
-    out.block_until_ready()
+    float(jnp.mean(out))
     elapsed = (time.perf_counter() - t0) / runs
     if trace_dir:
         jax.profiler.stop_trace()
@@ -132,6 +144,7 @@ def main():
                     f"imagenet64_{sampler.replace('+', 'p')}{steps}"
                     + ("_cfg" if use_cfg else "")
                     + ("_int8" if quantized else "")
+                    + (f"_enc{enc_cache}" if enc_cache else "")
                     + "_samples_per_sec_per_chip"
                 ),
                 "value": round(samples_per_sec, 4),

@@ -88,6 +88,25 @@ class LossType(enum.Enum):
             raise NotImplementedError(s) from None
 
 
+def _make_progress_tick(steps_to_do: int):
+    """Host-side tqdm ticked from inside a compiled scan — keeps the
+    reference's progress-bar UX (diffusion.py:207-212) without any host
+    round-trip on the data path."""
+    import tqdm
+
+    bars: dict = {}
+
+    def _tick(_):
+        if "bar" not in bars or bars["bar"].n >= steps_to_do:
+            bars.pop("bar", None) if "bar" in bars else None
+            bars["bar"] = tqdm.tqdm(total=steps_to_do)
+        bars["bar"].update(1)
+        if bars["bar"].n >= steps_to_do:
+            bars.pop("bar").close()
+
+    return _tick
+
+
 def _bcast(table: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
     """Gather per-timestep coefficients and broadcast over trailing dims.
 
@@ -299,34 +318,85 @@ class Diffusion:
         eps, raw = self._split_out(self._apply_model(params, x_t, t, y))
         return eps, self._resolve_log_var(raw, t, x_t.ndim)
 
+    def _cfg_combine(self, out2):
+        """CFG arithmetic on a doubled-batch model output: `(1+w)*eps_c -
+        w*eps_0` (reference diffusion.py:278-284 / 341-347); the log_var
+        half comes from the conditional branch, as in the reference."""
+        cond, uncond = jnp.split(out2, 2, axis=0)
+        if self.sampling_var_type.is_learned:
+            eps_c, raw = jnp.split(cond, 2, axis=-1)
+            eps_u, _ = jnp.split(uncond, 2, axis=-1)
+            eps = (1 + self.strength) * eps_c - self.strength * eps_u
+            return jnp.concatenate([eps, raw], axis=-1)
+        return (1 + self.strength) * cond - self.strength * uncond
+
     def _guided_eps(self, params, x, t, y, *, want_log_var: bool):
         """Epsilon (+ log_var) with classifier-free guidance fused into a
-        single doubled-batch model call when active.
-
-        Matches reference CFG arithmetic `(1+w)*eps_c - w*eps_0`
-        (diffusion.py:278-284 / 341-347); the log_var comes from the
-        conditional branch, as in the reference.
-        """
+        single doubled-batch model call when active."""
         if self.guidance != "classifier_free":
             out = self._apply_model(params, x, t, y)
         else:
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
             y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
-            out2 = self._apply_model(params, x2, t2, y2)
-            cond, uncond = jnp.split(out2, 2, axis=0)
-            if self.sampling_var_type.is_learned:
-                eps_c, raw = jnp.split(cond, 2, axis=-1)
-                eps_u, _ = jnp.split(uncond, 2, axis=-1)
-                eps = (1 + self.strength) * eps_c - self.strength * eps_u
-                out = jnp.concatenate([eps, raw], axis=-1)
-            else:
-                out = (1 + self.strength) * cond - self.strength * uncond
+            out = self._cfg_combine(self._apply_model(params, x2, t2, y2))
 
         eps, raw = self._split_out(out)
         if not want_log_var:
             return eps, None
         return eps, self._resolve_log_var(raw, t, x.ndim)
+
+    # ------------------------------------------------------------------
+    # Encoder-cached model calls ("Faster Diffusion", arXiv:2312.09608)
+    # ------------------------------------------------------------------
+
+    def _apply_model_split(self, params, x, t, y, cache, refresh: bool):
+        """Model call through the embed/encode/decode split (models/unet.py),
+        reusing cached encoder features when ``refresh`` is False.
+
+        The timestep embedding and the decoder always run at the *current*
+        t; only the encoder stack (and its skip activations) is frozen to
+        the last refresh step. Returns (out, cache)."""
+        if self.model_kwargs:
+            raise NotImplementedError(
+                "encoder_cache does not support extra model kwargs "
+                "(e.g. SuperResolutionModel low_res)"
+            )
+        mapped = jnp.take(self.timestep_map, t)
+        apply = self.model.apply
+        emb = apply(
+            {"params": params}, mapped,
+            y if self.model.conditional else None, method=self.model.embed,
+        )
+        if refresh:
+            h, xs = apply({"params": params}, x, emb, method=self.model.encode)
+            cache = (h, tuple(xs))
+        h, xs = cache
+        out = apply(
+            {"params": params}, h, list(xs), emb, method=self.model.decode
+        )
+        return out, cache
+
+    def _guided_eps_cached(
+        self, params, x, t, y, cache, refresh: bool, *, want_log_var: bool
+    ):
+        """_guided_eps via the encoder-cached path; returns
+        ((eps, log_var), cache)."""
+        if self.guidance != "classifier_free":
+            out, cache = self._apply_model_split(params, x, t, y, cache, refresh)
+        else:
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
+            out2, cache = self._apply_model_split(
+                params, x2, t2, y2, cache, refresh
+            )
+            out = self._cfg_combine(out2)
+
+        eps, raw = self._split_out(out)
+        if not want_log_var:
+            return (eps, None), cache
+        return (eps, self._resolve_log_var(raw, t, x.ndim)), cache
 
     def _classifier_grad(self, x, t, y):
         """grad_x log p(y | x, t) via jax.grad (replaces torch.autograd.grad,
@@ -344,13 +414,17 @@ class Diffusion:
     # Reverse (p) steps — pure functions of (params, x, t, rng)
     # ------------------------------------------------------------------
 
-    def ddpm_step(self, params, x_t, t, rng=None, y=None, noise=None):
+    def ddpm_step(self, params, x_t, t, rng=None, y=None, noise=None,
+                  eps_log_var=None):
         """One DDPM ancestral step (reference diffusion.py:266-316).
 
         Returns (sample, pred_x0). `t` is a (B,) rescaled-index array;
-        `noise` may be injected for parity tests.
+        `noise` may be injected for parity tests; `eps_log_var` may carry a
+        precomputed (eps, log_var) pair (encoder-cached sampling).
         """
-        eps, log_var = self._guided_eps(params, x_t, t, y, want_log_var=True)
+        if eps_log_var is None:
+            eps_log_var = self._guided_eps(params, x_t, t, y, want_log_var=True)
+        eps, log_var = eps_log_var
 
         pred_x0 = (
             _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
@@ -376,9 +450,12 @@ class Diffusion:
         sample = mean + mask * jnp.exp(0.5 * log_var) * noise
         return sample.astype(jnp.float32), pred_x0
 
-    def ddim_step(self, params, x_t, t, rng=None, y=None, noise=None):
+    def ddim_step(self, params, x_t, t, rng=None, y=None, noise=None,
+                  eps_log_var=None):
         """One DDIM step, eq. 12 of DDIM (reference diffusion.py:318-369)."""
-        eps, _ = self._guided_eps(params, x_t, t, y, want_log_var=False)
+        if eps_log_var is None:
+            eps_log_var = self._guided_eps(params, x_t, t, y, want_log_var=False)
+        eps, _ = eps_log_var
         if self.guidance == "classifier":
             # guidance on eps (OpenAI Alg. 2, reference diffusion.py:330-337)
             grad = self._classifier_grad(x_t, t, y)
@@ -411,7 +488,8 @@ class Diffusion:
         sample = mean + mask * jnp.sqrt(var) * noise
         return sample.astype(jnp.float32), pred_x0
 
-    def dpmpp_step(self, params, x_t, t, x0_prev, y=None, first=False):
+    def dpmpp_step(self, params, x_t, t, x0_prev, y=None, first=False,
+                   eps_log_var=None):
         """One DPM-Solver++(2M) multistep update (deterministic).
 
         `x0_prev` is the previous step's pred_x0; `first` marks the first
@@ -423,7 +501,9 @@ class Diffusion:
         (reference diffusion.py:330-337). No reference analogue — capability
         extension.
         """
-        eps, _ = self._guided_eps(params, x_t, t, y, want_log_var=False)
+        if eps_log_var is None:
+            eps_log_var = self._guided_eps(params, x_t, t, y, want_log_var=False)
+        eps, _ = eps_log_var
         if self.guidance == "classifier":
             grad = self._classifier_grad(x_t, t, y)
             eps = eps - self.strength * grad * _bcast(self._sqrt_1macp, t, x_t.ndim)
@@ -448,7 +528,13 @@ class Diffusion:
     # Full reverse chain as a single jitted scan
     # ------------------------------------------------------------------
 
-    def _make_sampler(self, steps_to_do: int, progress: bool):
+    def _make_sampler(
+        self, steps_to_do: int, progress: bool, encoder_cache: int = 0
+    ):
+        if encoder_cache:
+            return self._make_cached_sampler(
+                steps_to_do, progress, int(encoder_cache)
+            )
         step_fn = {
             "ddpm": self.ddpm_step,
             "ddim": self.ddim_step,
@@ -456,20 +542,7 @@ class Diffusion:
         }[self.sampler]
 
         if progress:
-            # host-side tqdm ticked from inside the compiled scan — keeps the
-            # reference's progress-bar UX (diffusion.py:207-212) without any
-            # host round-trip on the data path
-            import tqdm
-
-            bars: dict = {}
-
-            def _tick(_):
-                if "bar" not in bars or bars["bar"].n >= steps_to_do:
-                    bars.pop("bar", None) if "bar" in bars else None
-                    bars["bar"] = tqdm.tqdm(total=steps_to_do)
-                bars["bar"].update(1)
-                if bars["bar"].n >= steps_to_do:
-                    bars.pop("bar").close()
+            _tick = _make_progress_tick(steps_to_do)
 
         if self.sampler == "dpm++":
 
@@ -507,6 +580,91 @@ class Diffusion:
 
         return jax.jit(sampler)
 
+    def _make_cached_sampler(self, steps_to_do: int, progress: bool, k: int):
+        """Sampler with encoder-feature caching ("Faster Diffusion",
+        arXiv:2312.09608): the chain runs in super-steps of ``k`` — the
+        first step of each group computes the encoder stack fresh, the
+        remaining k-1 reuse its skip activations and bottom feature while
+        the timestep embedding and decoder run at the current t. Opt-in
+        and lossy (like the int8 serving path); k=1 is exactly the plain
+        sampler. The tail ``steps % k`` steps (nearest t=0, the most
+        quality-sensitive) always run uncached. The cache never crosses
+        the scan boundary — each group rebuilds it — so the scan carry
+        stays (x, key, x0_prev)."""
+        assert k >= 1
+        if not hasattr(self.model, "encode"):
+            raise NotImplementedError(
+                "encoder_cache requires a model exposing "
+                "embed/encode/decode (models/unet.py DiffusionModel)"
+            )
+        want_lv = self.sampler == "ddpm"
+        tail = steps_to_do % k
+        head = steps_to_do - tail
+
+        if progress:
+            _tick = _make_progress_tick(steps_to_do)
+
+        def one_step(params, xc, x0_prev, t_scalar, step_key, y, eps_lv):
+            t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
+            if self.sampler == "dpm++":
+                xc, x0_prev = self.dpmpp_step(
+                    params, xc, t, x0_prev, y,
+                    first=t_scalar == steps_to_do - 1, eps_log_var=eps_lv,
+                )
+            elif self.sampler == "ddim":
+                xc, _ = self.ddim_step(
+                    params, xc, t, step_key, y, eps_log_var=eps_lv
+                )
+            else:
+                xc, _ = self.ddpm_step(
+                    params, xc, t, step_key, y, eps_log_var=eps_lv
+                )
+            if progress:
+                jax.debug.callback(_tick, t_scalar, ordered=False)
+            return xc, x0_prev
+
+        def sampler(params, rng, x, y):
+            def group_body(carry, ts_group):
+                xc, key, x0_prev = carry
+                cache = None
+                for j in range(k):  # python-unrolled; j==0 refreshes
+                    t = jnp.full(
+                        (xc.shape[0],), ts_group[j], dtype=jnp.int32
+                    )
+                    eps_lv, cache = self._guided_eps_cached(
+                        params, xc, t, y, cache, refresh=j == 0,
+                        want_log_var=want_lv,
+                    )
+                    key, step_key = jax.random.split(key)
+                    xc, x0_prev = one_step(
+                        params, xc, x0_prev, ts_group[j], step_key, y, eps_lv
+                    )
+                return (xc, key, x0_prev), None
+
+            def plain_body(carry, t_scalar):
+                xc, key, x0_prev = carry
+                t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
+                eps_lv = self._guided_eps(
+                    params, xc, t, y, want_log_var=want_lv
+                )
+                key, step_key = jax.random.split(key)
+                xc, x0_prev = one_step(
+                    params, xc, x0_prev, t_scalar, step_key, y, eps_lv
+                )
+                return (xc, key, x0_prev), None
+
+            ts = jnp.arange(steps_to_do - 1, -1, -1)
+            carry = (x, rng, jnp.zeros_like(x))
+            if head:
+                carry, _ = jax.lax.scan(
+                    group_body, carry, ts[:head].reshape(head // k, k)
+                )
+            if tail:
+                carry, _ = jax.lax.scan(plain_body, carry, ts[head:])
+            return carry[0]
+
+        return jax.jit(sampler)
+
     def denoise(
         self,
         params,
@@ -517,13 +675,16 @@ class Diffusion:
         steps_to_do=None,
         batch_size: int = 1,
         progress: bool = False,
+        encoder_cache: int | None = None,
     ):
         """Run the reverse chain (reference diffusion.py:155-226).
 
         `params` may be the live or the EMA pytree — EMA sampling is just a
         different argument (no weight swapping). Starts from N(0, I) when `x`
-        is None. The whole chain is one compiled scan; the (steps, progress)
-        pair is compilation-cached.
+        is None. The whole chain is one compiled scan; the
+        (steps, progress, encoder_cache) triple is compilation-cached.
+        `encoder_cache=k` reuses encoder features for k-1 of every k steps
+        (opt-in, lossy — see _make_cached_sampler).
         """
         if self.model.conditional:
             assert y is not None, "pass label iff model is class-conditional"
@@ -549,7 +710,7 @@ class Diffusion:
         if y is not None:
             assert y.shape[0] == x.shape[0], "len(labels) != batch size"
 
-        key = (int(steps_to_do), bool(progress))
+        key = (int(steps_to_do), bool(progress), int(encoder_cache or 0))
         if key not in self._sampler_cache:
             self._sampler_cache[key] = self._make_sampler(*key)
         return self._sampler_cache[key](params, rng, x, y)

@@ -447,25 +447,43 @@ class DiffusionModel(nn.Module):
 
         self.out = OutHead(input_channels, self.out_channels, dtype=dtype)
 
-    def __call__(self, x, timestep, y=None, *, deterministic: bool = True):
+    # The forward pass is split into embed / encode / decode so the sampling
+    # engine can cache encoder features across adjacent timesteps
+    # ("Faster Diffusion", arXiv:2312.09608 — encoder activations vary
+    # slowly in t; decoder + skip concats carry most of the per-step
+    # change). __call__ composes them and is bitwise-identical to the
+    # monolithic forward.
+
+    def embed(self, timestep, y=None):
+        """Timestep (+ class) embedding [B, 4*model_channels]."""
         assert (y is not None) == self.conditional, "pass y iff class-conditional"
         emb = self.step_embed(timestep_embedding(timestep, self.model_channels))
         if self.conditional:
             emb = emb + self.class_embedding(y)
+        return emb
 
+    def encode(self, x, emb, deterministic: bool = True):
+        """Encoder stack -> (bottom feature, all skip activations)."""
         x = x.astype(self.dtype or x.dtype)
         xs = []
         for module in self.downsampling:
             x = module(x, emb, deterministic=deterministic)
             xs.append(x)
+        return x, xs
 
-        x = self.middle_block(x, emb, deterministic=deterministic)
-
+    def decode(self, h, xs, emb, deterministic: bool = True):
+        """Middle + decoder + head, consuming the encoder skips."""
+        xs = list(xs)
+        h = self.middle_block(h, emb, deterministic=deterministic)
         for module in self.upsampling:
-            x = jnp.concatenate([x, xs.pop()], axis=-1)
-            x = module(x, emb, deterministic=deterministic)
+            h = jnp.concatenate([h, xs.pop()], axis=-1)
+            h = module(h, emb, deterministic=deterministic)
+        return self.out(h).astype(jnp.float32)
 
-        return self.out(x).astype(jnp.float32)
+    def __call__(self, x, timestep, y=None, *, deterministic: bool = True):
+        emb = self.embed(timestep, y)
+        h, xs = self.encode(x, emb, deterministic=deterministic)
+        return self.decode(h, xs, emb, deterministic=deterministic)
 
 
 class SuperResolutionModel(DiffusionModel):

@@ -61,6 +61,10 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
                        help="rng seed for reproducibility")
         g.add_argument("--cpu", action="store_true", default=False,
                        help="force CPU instead of auto-detecting TPU")
+        g.add_argument("--encoder_cache", type=int, default=None, metavar=o,
+                       help="reuse UNet encoder features for k-1 of every k "
+                            "steps ('Faster Diffusion'; opt-in, slightly "
+                            "lossy, ~1.2x faster at k=2)")
         g.add_argument("--dtype", type=str, default="auto", metavar=o,
                        choices=("auto", "bfloat16", "float32", "int8"),
                        help="model compute dtype: 'auto' picks bfloat16 on "
@@ -199,9 +203,15 @@ def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
                 )
         else:
             user_strength = diff_args.get("guidance_strength")
+            # user-explicit step count survives preset dispatch (the presets
+            # pin 25; fast samplers like --sampler dpm++ want fewer — no
+            # reference precedent: it ignores all flags in preset mode)
+            user_steps = diff_args.get("rescaled_num_steps")
             m, d = preset_for_path(other_args["model_path"])
             model_args.update(m)
             diff_args.update(d)
+            if user_steps is not None:
+                diff_args["rescaled_num_steps"] = user_steps
             # classifier guidance must survive preset dispatch (the presets
             # carry their own guidance_method, which would silently disable
             # the user's --classifier_path; no reference precedent — it

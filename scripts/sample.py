@@ -203,6 +203,7 @@ def main():
             start_step=steps if start_batch is not None else None,
             steps_to_do=steps,
             progress=WORDY,
+            encoder_cache=other_args.get("encoder_cache"),
         )
 
         out = to_uint8(np.asarray(out))

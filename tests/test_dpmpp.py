@@ -234,3 +234,19 @@ def test_cli_sampler_flag_routes_to_diffusion_args():
         k: v for k, v in diff_args.items() if k != "classifier"
     })
     assert d.sampler == "dpm++"
+
+
+def test_cli_explicit_step_count_survives_preset():
+    """--rescaled_num_steps overrides the preset's 25 (needed to cash in
+    fast samplers); without the flag the preset default is untouched."""
+    from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
+
+    parser = make_argparser("diff_sample")
+    base = ["--model_path", "64x64_diffusion.pt", "--batch_size", "2",
+            "--num_samples", "1"]
+    _, _, d = get_dicts_from_args(
+        parser.parse_args(base + ["--rescaled_num_steps", "20"])
+    )
+    assert d["rescaled_num_steps"] == 20
+    _, _, d = get_dicts_from_args(parser.parse_args(base))
+    assert d["rescaled_num_steps"] == 25
