@@ -450,23 +450,28 @@ class Diffusion:
         sample = mean + mask * jnp.exp(0.5 * log_var) * noise
         return sample.astype(jnp.float32), pred_x0
 
-    def ddim_step(self, params, x_t, t, rng=None, y=None, noise=None,
-                  eps_log_var=None):
-        """One DDIM step, eq. 12 of DDIM (reference diffusion.py:318-369)."""
-        if eps_log_var is None:
-            eps_log_var = self._guided_eps(params, x_t, t, y, want_log_var=False)
-        eps, _ = eps_log_var
+    def _eps_guided_x0(self, params, x_t, t, y, eps):
+        """Shared DDIM/DPM++ tail: classifier guidance applied to eps
+        (OpenAI Alg. 2, reference diffusion.py:330-337), then the x0
+        projection with optional clipping. Returns (eps, pred_x0)."""
         if self.guidance == "classifier":
-            # guidance on eps (OpenAI Alg. 2, reference diffusion.py:330-337)
             grad = self._classifier_grad(x_t, t, y)
             eps = eps - self.strength * grad * _bcast(self._sqrt_1macp, t, x_t.ndim)
-
         pred_x0 = (
             _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
             - _bcast(self._sqrt_recipm1_acp, t, x_t.ndim) * eps
         )
         if self.clip_x:
             pred_x0 = jnp.clip(pred_x0, -1, 1)
+        return eps, pred_x0
+
+    def ddim_step(self, params, x_t, t, rng=None, y=None, noise=None,
+                  eps_log_var=None):
+        """One DDIM step, eq. 12 of DDIM (reference diffusion.py:318-369)."""
+        if eps_log_var is None:
+            eps_log_var = self._guided_eps(params, x_t, t, y, want_log_var=False)
+        eps, _ = eps_log_var
+        eps, pred_x0 = self._eps_guided_x0(params, x_t, t, y, eps)
 
         alpha_bar = _bcast(self._acp, t, x_t.ndim)
         alpha_bar_prev = _bcast(self._acp_prev, t, x_t.ndim)
@@ -504,16 +509,7 @@ class Diffusion:
         if eps_log_var is None:
             eps_log_var = self._guided_eps(params, x_t, t, y, want_log_var=False)
         eps, _ = eps_log_var
-        if self.guidance == "classifier":
-            grad = self._classifier_grad(x_t, t, y)
-            eps = eps - self.strength * grad * _bcast(self._sqrt_1macp, t, x_t.ndim)
-
-        pred_x0 = (
-            _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
-            - _bcast(self._sqrt_recipm1_acp, t, x_t.ndim) * eps
-        )
-        if self.clip_x:
-            pred_x0 = jnp.clip(pred_x0, -1, 1)
+        eps, pred_x0 = self._eps_guided_x0(params, x_t, t, y, eps)
 
         m = _bcast(self._dpmpp_m, t, x_t.ndim)
         m = jnp.where(first, jnp.zeros_like(m), m)
@@ -592,6 +588,9 @@ class Diffusion:
         the scan boundary — each group rebuilds it — so the scan carry
         stays (x, key, x0_prev)."""
         assert k >= 1
+        # k beyond the chain length would leave head == 0 (no caching at
+        # all); clamp so the user still gets 1 refresh + k-1 cached steps
+        k = min(k, steps_to_do)
         if not hasattr(self.model, "encode"):
             raise NotImplementedError(
                 "encoder_cache requires a model exposing "
@@ -777,7 +776,8 @@ class Diffusion:
 
         Returns a dict: total_bpd [B], prior_bpd [B], vlb_terms [T, B],
         mse_terms [T, B] (per-t eps MSE, useful for diagnosing schedules).
-        x_0 is NHWC in [-1, 1]; y as in loss().
+        The [T, B] profiles are in natural timestep order: row i is
+        rescaled timestep t == i. x_0 is NHWC in [-1, 1]; y as in loss().
         """
         if "bpd" in self._sampler_cache:
             return self._sampler_cache["bpd"](params, x_0, rng, y)
@@ -800,6 +800,9 @@ class Diffusion:
 
             ts = jnp.arange(self.rescaled_num_steps - 1, -1, -1)
             _, (vlb_terms, mse_terms) = jax.lax.scan(body, rng, ts)
+            # scan visited t = T-1..0; flip to natural order (row i = t = i)
+            vlb_terms = vlb_terms[::-1]
+            mse_terms = mse_terms[::-1]
 
             # prior: KL( N(sqrt(acp_T) x0, (1 - acp_T) I) || N(0, I) )
             t_last = jnp.full(

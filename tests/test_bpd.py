@@ -79,6 +79,32 @@ def test_better_model_scores_better_bound():
     assert float(good["mse_terms"].mean()) < float(bad["mse_terms"].mean())
 
 
+def test_bpd_profiles_are_in_natural_timestep_order():
+    """mse_terms row i must correspond to rescaled timestep t == i: with a
+    model predicting eps = t/1000, the per-t eps-MSE ~ 1 + (t/1000)^2 grows
+    with t, so the profile must be (statistically) increasing, not mirrored."""
+
+    class TimeBiasEps(DeltaOracle):
+        def __init__(self):
+            pass
+
+        def apply(self, variables, x, t):
+            c = (t.astype(jnp.float32) / 1000.0).reshape(
+                (-1,) + (1,) * (x.ndim - 1)
+            )
+            return jnp.broadcast_to(c, x.shape)
+
+    diff = _make(TimeBiasEps(), 10, "ddpm")
+    x0 = jax.random.uniform(
+        jax.random.PRNGKey(5), (8, 8, 8, 1), minval=-1, maxval=1
+    )
+    out = diff.bpd(None, x0, jax.random.PRNGKey(6))
+    mse = np.asarray(out["mse_terms"]).mean(axis=1)  # [T]
+    # mapped timesteps grow with row index iff natural order; compare the
+    # low-t and high-t halves (noise makes strict monotonicity too brittle)
+    assert mse[-3:].mean() > mse[:3].mean(), mse
+
+
 def test_eval_nll_cli_tool():
     """Smoke the CLI tool end-to-end on a random EMNIST-preset checkpoint."""
     import flax  # noqa: F401  (ensures deps present before subprocess)

@@ -110,6 +110,27 @@ def test_cached_sampling_close_to_exact(model_and_params, sampler, k):
     assert corr > 0.98, (sampler, k, corr)
 
 
+def test_cache_period_beyond_chain_is_clamped(model_and_params):
+    """k > steps must clamp to one group (1 refresh + rest cached), not
+    silently disable caching; result must differ from the exact chain
+    (proving the cache engaged) yet stay finite and in range."""
+    model, params = model_and_params
+    diff = _diffusion(model, "ddpm", steps=6)
+    y = jnp.array([1, 2])
+    plain = np.asarray(
+        diff.denoise(params, jax.random.PRNGKey(7), y=y, batch_size=2)
+    )
+    clamped = np.asarray(
+        diff.denoise(
+            params, jax.random.PRNGKey(7), y=y, batch_size=2,
+            encoder_cache=50,
+        )
+    )
+    assert np.isfinite(clamped).all()
+    assert np.abs(clamped).max() <= 1.0 + 1e-5
+    assert np.abs(clamped - plain).max() > 1e-6
+
+
 def test_cache_rejects_model_kwargs(model_and_params):
     model, params = model_and_params
     diff = _diffusion(model).with_model_kwargs(low_res=jnp.zeros((2, 8, 8, 1)))

@@ -8,11 +8,12 @@ Diffusion.bpd (one jitted scan over the chain; see diffusion/process.py).
 
 Usage:
   python tools/eval_nll.py --model_path EMNIST_model.npz \
-      [--data images.npz] [--batch_size 16] [--num_batches 4] [--labels ...]
+      [--data images.npz] [--batch_size 16] [--num_batches 4]
 
 --data is an .npz with an array under 'images' (NHWC, uint8 [0,255] or
-float [-1,1]) and optionally 'labels'; without it, smooth synthetic images
-are used (useful for smoke-evaluating untrained/random checkpoints).
+float [-1,1]) and, for class-conditional models, 'labels'; without --data,
+smooth synthetic images with random labels are used (useful for
+smoke-evaluating untrained/random checkpoints).
 """
 
 import argparse
@@ -64,6 +65,18 @@ def main():
         if images.max() > 1.5:  # uint8 range
             images = images / 127.5 - 1.0
         labels = np.asarray(blob["labels"]) if "labels" in blob else None
+        if n_cls is not None and labels is None:
+            sys.exit(
+                f"error: {args.model_path} is class-conditional "
+                f"({n_cls} classes) — the conditional likelihood needs the "
+                f"true labels; add a 'labels' array to {args.data}"
+            )
+        need = args.batch_size * args.num_batches
+        if len(images) < need:
+            sys.exit(
+                f"error: --data has {len(images)} images but "
+                f"batch_size*num_batches = {need}; lower them"
+            )
     else:
         # smooth synthetic images in [-1, 1]
         yy, xx = np.mgrid[0:res, 0:res] / res
