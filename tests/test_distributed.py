@@ -145,3 +145,39 @@ def test_batch_sharded_sampling(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_sharded), np.asarray(out_single), atol=1e-5
     )
+
+
+def test_batch_sharded_dpmpp_and_encoder_cache():
+    """The round-2 sampler paths (dpm++ multistep carry, encoder-cached
+    super-steps) must partition over a P('data')-sharded batch exactly like
+    the plain sampler: per-example independence means sharded == unsharded."""
+    mesh = make_mesh()
+    model = DiffusionModel(**TINY_MODEL)
+    from nicediffusion_tpu.diffusion.process import Diffusion
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, 8, 1)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    y = jnp.arange(8) % 4
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 8, 1))
+    params_r = jax.device_put(params, replicated(mesh))
+    x_s = jax.device_put(x, data_sharding(mesh, 4))
+    y_s = jax.device_put(y, data_sharding(mesh, 1))
+
+    for sampler, enc in (("dpm++", None), ("ddpm", 2), ("dpm++", 3)):
+        diff = Diffusion(
+            model=model, **dict(DIFF_ARGS, rescaled_num_steps=8),
+            sampler=sampler,
+        )
+        single = diff.denoise(params, rng, x=x, y=y, encoder_cache=enc)
+        sharded = diff.denoise(
+            params_r, rng, x=x_s, y=y_s, encoder_cache=enc
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=1e-5,
+            err_msg=f"{sampler} enc={enc}",
+        )
