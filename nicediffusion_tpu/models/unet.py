@@ -82,12 +82,47 @@ class Int8Conv(nn.Module):
         )
 
 
+class WinogradConv(nn.Module):
+    """Stride-1 3x3 conv via Winograd F(2x2, 3x3) (ops/winograd.py).
+
+    ABLATION PATH — measured SLOWER than XLA's direct conv in-model on a
+    v5e chip despite 2.25x fewer MACs (see ops/winograd.py header for the
+    numbers); kept opt-in for reproduction of that result, never default.
+    Holds the exact same parameters ('kernel' HWIO, 'bias') as nn.Conv, so
+    checkpoints load unchanged; same-precision-class bf16 numerics."""
+
+    features: int
+    zero_init: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.winograd import winograd_conv_3x3
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or x.dtype
+        return winograd_conv_3x3(
+            x.astype(dtype), kernel.astype(dtype), bias=bias,
+            out_dtype=dtype,
+        )
+
+
 def _conv(features, kernel, stride=1, zero_init=False, dtype=None, name=None,
-          quantized=False):
+          quantized=False, winograd=False):
     if quantized:
         return Int8Conv(
             features=features, kernel_size=kernel, stride=stride,
             zero_init=zero_init, dtype=dtype, name=name,
+        )
+    if winograd and kernel == 3 and stride == 1:
+        return WinogradConv(
+            features=features, zero_init=zero_init, dtype=dtype, name=name,
         )
     k = (kernel, kernel)
     pad = ((kernel // 2, kernel // 2),) * 2
@@ -135,6 +170,7 @@ class Upsample(nn.Module):
     with_conv: bool = True
     dtype: jnp.dtype | None = None
     quantized: bool = False
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -142,7 +178,7 @@ class Upsample(nn.Module):
         if self.with_conv:
             features = self.out_channels if self.out_channels is not None else x.shape[-1]
             x = _conv(features, 3, dtype=self.dtype, name="conv",
-                      quantized=self.quantized)(x)
+                      quantized=self.quantized, winograd=self.winograd)(x)
         return x
 
 
@@ -153,13 +189,14 @@ class Downsample(nn.Module):
     with_conv: bool = True
     dtype: jnp.dtype | None = None
     quantized: bool = False
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x):
         if self.with_conv:
             features = self.out_channels if self.out_channels is not None else x.shape[-1]
             return _conv(features, 3, stride=2, dtype=self.dtype, name="conv",
-                         quantized=self.quantized)(x)
+                         quantized=self.quantized, winograd=self.winograd)(x)
         return avg_pool_2x(x)
 
 
@@ -181,6 +218,7 @@ class ResidualBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype | None = None
     quantized: bool = False
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -197,7 +235,7 @@ class ResidualBlock(nn.Module):
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
         h = _conv(out_ch, 3, dtype=self.dtype, name="in_conv",
-                  quantized=self.quantized)(h)
+                  quantized=self.quantized, winograd=self.winograd)(h)
 
         # timestep embedding: SiLU then Linear (reference model.py:197)
         emb = nn.silu(emb)
@@ -214,16 +252,16 @@ class ResidualBlock(nn.Module):
 
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = _conv(out_ch, 3, zero_init=True, dtype=self.dtype,
-                  name="out_conv", quantized=self.quantized)(h)
+                  name="out_conv", quantized=self.quantized, winograd=self.winograd)(h)
 
         if out_ch == in_ch:
             skip = x
         elif self.use_conv:
             skip = _conv(out_ch, 3, dtype=self.dtype, name="skip",
-                         quantized=self.quantized)(x)
+                         quantized=self.quantized, winograd=self.winograd)(x)
         else:
             skip = _conv(out_ch, 1, dtype=self.dtype, name="skip",
-                         quantized=self.quantized)(x)
+                         quantized=self.quantized, winograd=self.winograd)(x)
         return h + skip
 
 
@@ -345,6 +383,10 @@ class DiffusionModel(nn.Module):
     # quantization (ops/quant.py). Opt-in, lossy; the stem/head convs and
     # attention stay in the float path. Parameters are unchanged.
     quantized: bool = False
+    # Winograd F(2x2,3x3) path for stride-1 3x3 convs (ops/winograd.py):
+    # 2.25x fewer MACs but measured SLOWER than XLA's direct conv in-model
+    # (ablation — see ops/winograd.py). Opt-in for reproduction only.
+    winograd: bool = False
 
     @property
     def conditional(self) -> bool:
@@ -375,6 +417,7 @@ class DiffusionModel(nn.Module):
                 dropout=self.dropout,
                 dtype=dtype,
                 quantized=self.quantized,
+                winograd=self.winograd,
             )
 
         def make_attn():
@@ -389,7 +432,9 @@ class DiffusionModel(nn.Module):
         curr_channels = input_channels = int(self.model_channels * self.channel_mult[0])
         curr_res = self.resolution
         downsampling = [
-            StepSequential([_conv(curr_channels, 3, dtype=dtype)])
+            StepSequential(
+                [_conv(curr_channels, 3, dtype=dtype, winograd=self.winograd)]
+            )
         ]
         input_block_channels = [curr_channels]
         for level, mult in enumerate(self.channel_mult):
@@ -411,7 +456,7 @@ class DiffusionModel(nn.Module):
                         StepSequential(
                             [Downsample(out_channels=curr_channels,
                                         with_conv=self.conv_resample, dtype=dtype,
-                                        quantized=self.quantized)]
+                                        quantized=self.quantized, winograd=self.winograd)]
                         )
                     )
                 input_block_channels.append(curr_channels)
@@ -439,7 +484,7 @@ class DiffusionModel(nn.Module):
                         layers.append(
                             Upsample(out_channels=curr_channels,
                                      with_conv=self.conv_resample, dtype=dtype,
-                                     quantized=self.quantized)
+                                     quantized=self.quantized, winograd=self.winograd)
                         )
                     curr_res *= 2
                 upsampling.append(StepSequential(layers))
