@@ -144,8 +144,10 @@ class Diffusion:
         classifier: Callable | None = None,
         use_ddim: bool = False,
         ddim_eta: float | None = None,
-        clip_x: bool = True,
+        clip_x: "bool | str" = True,
         sampler: str | None = None,
+        respacing: str = "even",
+        dynamic_threshold: float = 0.995,
     ):
         if guidance_method not in (None, "classifier", "classifier_free"):
             raise NotImplementedError(guidance_method)
@@ -172,7 +174,15 @@ class Diffusion:
         self.classifier = classifier
         self.use_ddim = use_ddim
         self.ddim_eta = ddim_eta
+        # clip_x: True (clamp pred_x0 to [-1,1], the reference default,
+        # diffusion.py:286-290), False, or 'dynamic' — Imagen-style dynamic
+        # thresholding (arXiv:2205.11487 §2.3): clamp to the per-sample
+        # `dynamic_threshold` percentile s of |pred_x0| (s >= 1) and divide
+        # by s. Capability extension; prevents CFG saturation at high w.
+        if clip_x not in (True, False, "dynamic"):
+            raise NotImplementedError(clip_x)
         self.clip_x = clip_x
+        self.dynamic_threshold = dynamic_threshold
         self.sampling_var_type = VarType.parse(sampling_var_type)
         self.loss_type = LossType.parse(loss_type)
         self.original_num_steps = original_num_steps
@@ -182,6 +192,7 @@ class Diffusion:
             rescaled_num_steps=rescaled_num_steps,
             beta_schedule=beta_schedule,
             betas=betas,
+            respacing=respacing,
         )
         self.rescaled_num_steps = self.schedule.rescaled_num_steps
         self.timestep_map = jnp.asarray(self.schedule.timestep_map, dtype=jnp.int32)
@@ -426,12 +437,10 @@ class Diffusion:
             eps_log_var = self._guided_eps(params, x_t, t, y, want_log_var=True)
         eps, log_var = eps_log_var
 
-        pred_x0 = (
+        pred_x0 = self._clip_x0(
             _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
             - _bcast(self._sqrt_recipm1_acp, t, x_t.ndim) * eps
         )
-        if self.clip_x:
-            pred_x0 = jnp.clip(pred_x0, -1, 1)
 
         mean = (
             _bcast(self._post_coef_x0, t, x_t.ndim) * pred_x0
@@ -450,6 +459,22 @@ class Diffusion:
         sample = mean + mask * jnp.exp(0.5 * log_var) * noise
         return sample.astype(jnp.float32), pred_x0
 
+    def _clip_x0(self, pred_x0):
+        """Apply the configured x0 clamp: hard [-1,1] (reference), none, or
+        Imagen dynamic thresholding (per-sample percentile clamp+rescale)."""
+        if self.clip_x == "dynamic":
+            s = jnp.quantile(
+                jnp.abs(pred_x0.reshape(pred_x0.shape[0], -1)),
+                self.dynamic_threshold, axis=1,
+            )
+            s = jnp.maximum(s, 1.0).reshape(
+                (-1,) + (1,) * (pred_x0.ndim - 1)
+            )
+            return jnp.clip(pred_x0, -s, s) / s
+        if self.clip_x:
+            return jnp.clip(pred_x0, -1, 1)
+        return pred_x0
+
     def _eps_guided_x0(self, params, x_t, t, y, eps):
         """Shared DDIM/DPM++ tail: classifier guidance applied to eps
         (OpenAI Alg. 2, reference diffusion.py:330-337), then the x0
@@ -461,9 +486,7 @@ class Diffusion:
             _bcast(self._sqrt_recip_acp, t, x_t.ndim) * x_t
             - _bcast(self._sqrt_recipm1_acp, t, x_t.ndim) * eps
         )
-        if self.clip_x:
-            pred_x0 = jnp.clip(pred_x0, -1, 1)
-        return eps, pred_x0
+        return eps, self._clip_x0(pred_x0)
 
     def ddim_step(self, params, x_t, t, rng=None, y=None, noise=None,
                   eps_log_var=None):

@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "get_beta_schedule",
     "respace_betas",
+    "respace_betas_karras",
     "DiffusionSchedule",
 ]
 
@@ -102,6 +103,42 @@ def respace_betas(
     return new_betas, timestep_map
 
 
+def respace_betas_karras(
+    betas: np.ndarray, rescaled_num_steps: int, rho: float = 7.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Respace by matching a Karras rho-grid of sigmas instead of the
+    reference's even stride (capability extension; Karras et al.,
+    arXiv:2206.00364 eq. 5 — the standard grid for few-step samplers).
+
+    sigma_i spans [sigma_min, sigma_max] of the original chain with
+    sigma = sqrt((1 - abar)/abar); each grid point maps to the nearest
+    original timestep (deduplicated, ascending). Betas are recomputed from
+    the kept alphas_cumprod exactly as eq.-19 respacing does, so every
+    coefficient table downstream is consistent.
+    """
+    original_num_steps = len(betas)
+    alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
+    sigmas = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
+    s_min, s_max = sigmas[0], sigmas[-1]
+    i = np.linspace(0, 1, rescaled_num_steps)
+    grid = (
+        s_max ** (1.0 / rho) + i * (s_min ** (1.0 / rho) - s_max ** (1.0 / rho))
+    ) ** rho  # descending sigma
+    # nearest original index per grid sigma (sigmas ascend with t)
+    idx = np.abs(sigmas[None, :] - grid[:, None]).argmin(axis=1)
+    timestep_map = np.unique(idx)  # ascending, deduplicated
+
+    new_betas = []
+    last = 1.0
+    for j in timestep_map:
+        new_betas.append(1.0 - alphas_cumprod[j] / last)
+        last = alphas_cumprod[j]
+    new_betas = np.array(new_betas, dtype=np.float64)
+    if not ((new_betas > 0).all() and (new_betas <= 1).all()):
+        raise ValueError("betas in invalid range after karras respacing")
+    return new_betas, timestep_map
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionSchedule:
     """All precomputed per-timestep coefficient tables (float64 numpy).
@@ -140,8 +177,12 @@ class DiffusionSchedule:
         rescaled_num_steps: int,
         beta_schedule: str = "linear",
         betas: Sequence[float] | np.ndarray | None = None,
+        respacing: str = "even",
     ) -> "DiffusionSchedule":
-        """Build the full table set. Mirrors reference diffusion.py:87-130."""
+        """Build the full table set. Mirrors reference diffusion.py:87-130.
+        ``respacing``: 'even' (reference eq.-19 stride) or 'karras'
+        (rho-grid in sigma space, better step placement for few-step
+        sampling — capability extension)."""
         if betas is None:
             betas = get_beta_schedule(beta_schedule, original_num_steps)
         else:
@@ -149,7 +190,12 @@ class DiffusionSchedule:
             if len(betas) != original_num_steps:
                 raise ValueError("betas must have length original_num_steps")
 
-        betas, timestep_map = respace_betas(betas, rescaled_num_steps)
+        if respacing == "even":
+            betas, timestep_map = respace_betas(betas, rescaled_num_steps)
+        elif respacing == "karras":
+            betas, timestep_map = respace_betas_karras(betas, rescaled_num_steps)
+        else:
+            raise NotImplementedError(respacing)
 
         alphas = 1.0 - betas
         sqrt_alphas = np.sqrt(alphas)

@@ -138,6 +138,16 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
                         "combine with --rescaled_num_steps to cash in the "
                         "speedup). Default: ddim if --use_ddim else ddpm")
     d.add_argument("--ddim_eta", type=float, default=0.0, metavar=o)
+    d.add_argument("--respacing", type=str, default=None, metavar=o,
+                   choices=("even", "karras"),
+                   help="timestep-grid placement: 'even' (reference eq.-19 "
+                        "stride, default) or 'karras' (rho-grid in sigma "
+                        "space — better few-step sampling)")
+    d.add_argument("--dynamic_thresholding", type=float, default=None,
+                   metavar=o, nargs="?", const=0.995,
+                   help="Imagen-style dynamic thresholding of pred_x0 at "
+                        "this percentile (default 0.995 when given without "
+                        "a value); replaces the hard [-1,1] clamp")
     d.add_argument("--original_num_steps", type=int, default=1000, metavar=o)
     d.add_argument("--loss_type", type=str, required=req, default="hybrid",
                    metavar=o if is_sample else r,
@@ -156,7 +166,8 @@ _MODEL_KEYS = [
     "use_adaptive_gn", "num_classes",
 ]
 _DIFF_KEYS = [
-    "rescaled_num_steps", "original_num_steps", "use_ddim", "sampler", "ddim_eta",
+    "rescaled_num_steps", "original_num_steps", "use_ddim", "sampler",
+    "respacing", "ddim_eta",
     "beta_schedule", "sampling_var_type", "classifier", "guidance_method",
     "guidance_strength", "loss_type",
 ]
@@ -174,6 +185,14 @@ def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
             diff_args[key] = val
         else:
             other_args[key] = val
+
+    if diff_args.get("respacing") is None:
+        diff_args["respacing"] = "even"
+    # --dynamic_thresholding <p> -> clip_x='dynamic' (capability extension)
+    dyn = other_args.pop("dynamic_thresholding", None)
+    if dyn is not None:
+        diff_args["clip_x"] = "dynamic"
+        diff_args["dynamic_threshold"] = dyn
 
     assert (
         diff_args["guidance_method"] is None
