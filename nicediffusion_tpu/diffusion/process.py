@@ -148,6 +148,7 @@ class Diffusion:
         sampler: str | None = None,
         respacing: str = "even",
         dynamic_threshold: float = 0.995,
+        timestep_indices=None,
     ):
         if guidance_method not in (None, "classifier", "classifier_free"):
             raise NotImplementedError(guidance_method)
@@ -193,6 +194,7 @@ class Diffusion:
             beta_schedule=beta_schedule,
             betas=betas,
             respacing=respacing,
+            timestep_indices=timestep_indices,
         )
         self.rescaled_num_steps = self.schedule.rescaled_num_steps
         self.timestep_map = jnp.asarray(self.schedule.timestep_map, dtype=jnp.int32)

@@ -178,11 +178,16 @@ class DiffusionSchedule:
         beta_schedule: str = "linear",
         betas: Sequence[float] | np.ndarray | None = None,
         respacing: str = "even",
+        timestep_indices: "Sequence[int] | np.ndarray | None" = None,
     ) -> "DiffusionSchedule":
         """Build the full table set. Mirrors reference diffusion.py:87-130.
         ``respacing``: 'even' (reference eq.-19 stride) or 'karras'
         (rho-grid in sigma space, better step placement for few-step
-        sampling — capability extension)."""
+        sampling — capability extension). ``timestep_indices`` pins the
+        kept original-chain indices explicitly (ascending), overriding
+        respacing — used e.g. by progressive distillation to nest the
+        student grid exactly inside the teacher's (training/distill.py).
+        """
         if betas is None:
             betas = get_beta_schedule(beta_schedule, original_num_steps)
         else:
@@ -190,7 +195,18 @@ class DiffusionSchedule:
             if len(betas) != original_num_steps:
                 raise ValueError("betas must have length original_num_steps")
 
-        if respacing == "even":
+        if timestep_indices is not None:
+            idx = np.asarray(timestep_indices, dtype=np.int64)
+            if not ((np.diff(idx) > 0).all() and 0 <= idx[0]
+                    and idx[-1] < original_num_steps):
+                raise ValueError("timestep_indices must be ascending and in range")
+            acp = np.cumprod(1.0 - betas)
+            new_betas, last = [], 1.0
+            for j in idx:
+                new_betas.append(1.0 - acp[j] / last)
+                last = acp[j]
+            betas, timestep_map = np.array(new_betas, np.float64), idx
+        elif respacing == "even":
             betas, timestep_map = respace_betas(betas, rescaled_num_steps)
         elif respacing == "karras":
             betas, timestep_map = respace_betas_karras(betas, rescaled_num_steps)

@@ -1,0 +1,201 @@
+"""Progressive distillation — halve sampling steps by training a student
+to match two teacher DDIM steps (Salimans & Ho, arXiv:2202.00512).
+
+Capability extension with no reference analogue (the reference has no
+fast-sampling story at all); complements the exact DPM-Solver++ sampler:
+distillation trades a short training run for a permanent 2x (per round)
+reduction in sampling steps at matched quality.
+
+TPU-native shape: the whole distillation step — q-sample, two teacher DDIM
+steps, implied one-step target, student x0-prediction, truncated-SNR loss,
+AdamW update, EMA — is one jitted, donated XLA program; the teacher/student
+grids are nested exactly (the student keeps the teacher's odd rescaled
+indices via DiffusionSchedule(timestep_indices=...), so both share
+alphas_cumprod values and the original-chain timestep embedding space,
+letting the student initialise from the teacher's weights).
+
+Math (eps-parameterisation, teacher eta=0): for student step j the teacher
+runs rescaled steps t1 = 2j+1 then 2j, landing at the boundary with
+alpha'' = sqrt(acp_prev[2j]), sigma'' = sqrt(1 - acp_prev[2j]). The
+one-step target the student must hit is
+
+    x~0 = (z'' - (sigma''/sigma_t) z_t) / (alpha'' - (sigma''/sigma_t) alpha_t)
+
+(the x0 a single DDIM step from t1 to the boundary would need to produce
+z''; eq. 7 of the paper), with loss w * ||x^0_student - x~0||^2,
+w = max(alpha_t^2/sigma_t^2, 1) (truncated SNR, paper App. E). At j = 0
+the boundary is alpha''=1, sigma''=0 and x~0 = z'' exactly.
+
+Learned-variance teachers work (DDIM ignores the variance channels), but
+the student's variance output receives no training signal — sample
+distilled students with ddim/dpm++, not ddpm (documented limitation,
+matching the paper's deterministic setting).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.process import Diffusion
+
+__all__ = ["DistillState", "ProgressiveDistiller", "make_student_diffusion"]
+
+
+class DistillState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def make_student_diffusion(model, diffusion_args: dict, teacher: Diffusion):
+    """Student Diffusion on the teacher's odd rescaled indices (exact
+    nesting: student acp[j] == teacher acp[2j+1])."""
+    n = teacher.rescaled_num_steps
+    assert n % 2 == 0, f"teacher steps must be even to halve, got {n}"
+    student_indices = np.asarray(teacher.timestep_map)[1::2]
+    args = dict(diffusion_args)
+    args.update(
+        rescaled_num_steps=n // 2,
+        guidance_method=None,
+        guidance_strength=None,
+        use_ddim=True,
+        ddim_eta=0.0,
+        timestep_indices=student_indices,
+    )
+    return Diffusion(model=model, **args)
+
+
+class ProgressiveDistiller:
+    """Distills `model` from `teacher_params` at N steps down to N/2 (one
+    `run()` = one halving round; chain rounds by re-instantiating with the
+    returned student as the new teacher — see scripts/distill.py)."""
+
+    def __init__(
+        self,
+        model,
+        teacher_params,
+        diffusion_args: dict,
+        dataloader: Iterator,
+        iterations: int,
+        lr: float = 1e-4,
+        weight_decay: float = 0.0,
+        ema_rate: float = 0.9999,
+        seed: int = 0,
+    ):
+        args = dict(diffusion_args)
+        args.update(guidance_method=None, guidance_strength=None,
+                    use_ddim=True, ddim_eta=0.0)
+        self.model = model
+        self.teacher = Diffusion(model=model, **args)
+        self.student = make_student_diffusion(model, diffusion_args, self.teacher)
+        self.teacher_params = teacher_params
+        self.loader = dataloader
+        self.iterations = iterations
+        self.rng = jax.random.PRNGKey(seed)
+
+        self.optimizer = optax.adamw(lr, b1=0.9, b2=0.999,
+                                     weight_decay=weight_decay)
+        self.ema_rate = ema_rate
+        # student initialises FROM the teacher (paper §2). Real copies, not
+        # views: the step donates the student state while the teacher
+        # params stay a live argument (aliased buffers would trip XLA's
+        # donation check)
+        params = jax.tree.map(lambda p: jnp.array(p), teacher_params)
+        self.state = DistillState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=jax.tree.map(jnp.copy, params),
+        )
+        self._step_fn = self._build_step()
+
+    # -- distillation target ------------------------------------------------
+
+    def _target_x0(self, teacher_params, z, j, y):
+        """Two teacher DDIM steps from rescaled index t1 = 2j+1, then the
+        implied one-step x0 target."""
+        t1 = 2 * j + 1
+        t2 = 2 * j
+        zero = jnp.zeros_like(z)
+        z1, _ = self.teacher.ddim_step(teacher_params, z, t1, y=y, noise=zero)
+        z2, _ = self.teacher.ddim_step(teacher_params, z1, t2, y=y, noise=zero)
+
+        nd = z.ndim
+        acp_t = self.teacher._acp
+        acp_pp = self.teacher._acp_prev
+        a_t = jnp.sqrt(jnp.take(acp_t, t1)).reshape((-1,) + (1,) * (nd - 1))
+        s_t = jnp.sqrt(1 - jnp.take(acp_t, t1)).reshape((-1,) + (1,) * (nd - 1))
+        a_b = jnp.sqrt(jnp.take(acp_pp, t2)).reshape((-1,) + (1,) * (nd - 1))
+        s_b = jnp.sqrt(1 - jnp.take(acp_pp, t2)).reshape((-1,) + (1,) * (nd - 1))
+        ratio = s_b / s_t
+        return (z2 - ratio * z) / (a_b - ratio * a_t), (a_t, s_t)
+
+    # -- jitted step --------------------------------------------------------
+
+    def _build_step(self):
+        def loss_fn(params, teacher_params, x0, y, j, noise):
+            # q-sample at the student's grid point j (== teacher 2j+1)
+            z = self.student.q_sample(x0, j, noise)
+            target, (a_t, s_t) = self._target_x0(
+                teacher_params, z, j, y
+            )
+            target = jax.lax.stop_gradient(target)
+
+            eps_s, _ = self.student._guided_eps(
+                params, z, j, y, want_log_var=False
+            )
+            x0_s = (z - s_t * eps_s) / a_t
+
+            w = jnp.maximum(a_t**2 / s_t**2, 1.0)  # truncated SNR
+            return jnp.mean(w * (x0_s - target) ** 2)
+
+        def step(state: DistillState, teacher_params, batch, labels, rng):
+            j_rng, n_rng = jax.random.split(rng)
+            j = jax.random.randint(
+                j_rng, (batch.shape[0],), 0,
+                self.student.rescaled_num_steps,
+            )
+            noise = jax.random.normal(n_rng, batch.shape, dtype=batch.dtype)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, teacher_params, batch, labels, j, noise
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            r = self.ema_rate
+            ema = jax.tree.map(
+                lambda e, p: r * e + (1 - r) * p, state.ema_params, params
+            )
+            return (
+                DistillState(state.step + 1, params, opt_state, ema),
+                {"loss": loss, "grad_norm": optax.global_norm(grads)},
+            )
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def run(self, log_every: int | None = None):
+        """One halving round; returns (student_params, student_diffusion)."""
+        for it in range(self.iterations):
+            batch, labels = next(self.loader)
+            batch = jnp.asarray(batch)
+            labels = jnp.asarray(labels) if (
+                labels is not None and self.model.conditional
+            ) else None
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self._step_fn(
+                self.state, self.teacher_params, batch, labels, step_rng
+            )
+            if log_every and (it + 1) % log_every == 0:
+                print(
+                    f"distill step {it + 1}/{self.iterations}: "
+                    f"loss={float(metrics['loss']):.5f}"
+                )
+        return self.state.ema_params, self.student

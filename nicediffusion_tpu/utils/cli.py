@@ -143,6 +143,11 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
                    help="timestep-grid placement: 'even' (reference eq.-19 "
                         "stride, default) or 'karras' (rho-grid in sigma "
                         "space — better few-step sampling)")
+    d.add_argument("--timestep_indices", type=str, default=None, metavar=o,
+                   help="'/'-separated original-chain timestep indices to "
+                        "sample on (overrides --rescaled_num_steps/"
+                        "--respacing; printed by scripts/distill.py for "
+                        "faithful sampling of distilled students)")
     d.add_argument("--dynamic_thresholding", type=float, default=None,
                    metavar=o, nargs="?", const=0.995,
                    help="Imagen-style dynamic thresholding of pred_x0 at "
@@ -167,7 +172,7 @@ _MODEL_KEYS = [
 ]
 _DIFF_KEYS = [
     "rescaled_num_steps", "original_num_steps", "use_ddim", "sampler",
-    "respacing", "ddim_eta",
+    "respacing", "timestep_indices", "ddim_eta",
     "beta_schedule", "sampling_var_type", "classifier", "guidance_method",
     "guidance_strength", "loss_type",
 ]
@@ -188,6 +193,10 @@ def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
 
     if diff_args.get("respacing") is None:
         diff_args["respacing"] = "even"
+    if diff_args.get("timestep_indices") is not None:
+        diff_args["timestep_indices"] = [
+            int(i) for i in str(diff_args["timestep_indices"]).split("/")
+        ]
     # --dynamic_thresholding <p> -> clip_x='dynamic' (capability extension)
     dyn = other_args.pop("dynamic_thresholding", None)
     if dyn is not None:

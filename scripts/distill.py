@@ -1,0 +1,126 @@
+"""Progressive distillation CLI — halve a model's sampling steps N times.
+
+Capability extension (no reference analogue; Salimans & Ho 2202.00512, see
+training/distill.py for the math). Each round trains a student initialised
+from the teacher to match two teacher DDIM steps in one, then the student
+becomes the next round's teacher.
+
+Usage:
+  python scripts/distill.py --model_path 64x64_diffusion.pt \
+      [--rounds 2] [--iterations 2000] [--lr 1e-4] [--batch_size 32] \
+      [--data images.npz] [--save_path distilled.npz] [--cpu] [-w]
+
+Data: an .npz with 'images' (+ 'labels' for conditional models), or
+synthetic smooth images as a smoke fallback. The distilled checkpoint
+samples with `--sampler ddim` (or dpm++) at rescaled_num_steps / 2**rounds.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--rounds", type=int, default=1)
+    p.add_argument("--steps", type=int, default=None,
+                   help="teacher step count to start from (must be "
+                        "halvable --rounds times; overrides the preset's, "
+                        "which may be odd)")
+    p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--data", default=None)
+    p.add_argument("--save_path", default="distilled.npz")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-w", "--wordy", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from nicediffusion_tpu.models.unet import DiffusionModel
+    from nicediffusion_tpu.training.distill import ProgressiveDistiller
+    from nicediffusion_tpu.utils.checkpoint import load_params, save_params_npz
+    from nicediffusion_tpu.utils.config import preset_for_path
+
+    model_args, diff_args = preset_for_path(args.model_path)
+    dtype = jnp.float32 if args.cpu else jnp.bfloat16
+    model = DiffusionModel(**model_args, dtype=dtype)
+    params = jax.tree.map(jnp.asarray, load_params(args.model_path))
+
+    res, ch = model_args["resolution"], model_args["in_channels"]
+    n_cls = model_args["num_classes"]
+    rng = np.random.default_rng(args.seed)
+
+    if args.data:
+        blob = np.load(args.data)
+        images = np.asarray(blob["images"], dtype=np.float32)
+        if images.max() > 1.5:
+            images = images / 127.5 - 1.0
+        labels = np.asarray(blob["labels"]) if "labels" in blob else None
+        if n_cls is not None and labels is None:
+            sys.exit("error: conditional model needs 'labels' in --data")
+    else:
+        yy, xx = np.mgrid[0:res, 0:res] / res
+        n = max(args.batch_size * 8, 256)
+        phase = rng.uniform(0, 2 * np.pi, size=(n, 1, 1, ch))
+        freq = rng.uniform(1, 3, size=(n, 1, 1, ch))
+        images = (np.sin(2 * np.pi * freq * (yy + xx)[None, :, :, None] + phase)
+                  * 0.8).astype(np.float32)
+        labels = rng.integers(0, n_cls, size=(n,)) if n_cls is not None else None
+
+    def loader():
+        while True:
+            idx = rng.integers(0, len(images), size=(args.batch_size,))
+            yield images[idx], (labels[idx] if labels is not None else None)
+
+    steps = args.steps or diff_args["rescaled_num_steps"]
+    student = None
+    for r in range(args.rounds):
+        if steps % 2:
+            sys.exit(f"error: cannot halve odd step count {steps}")
+        if args.wordy:
+            print(f"Round {r + 1}/{args.rounds}: distilling {steps} -> "
+                  f"{steps // 2} steps ({args.iterations} iterations)")
+        distiller = ProgressiveDistiller(
+            model=model,
+            teacher_params=params,
+            diffusion_args=dict(diff_args, rescaled_num_steps=steps),
+            dataloader=loader(),
+            iterations=args.iterations,
+            lr=args.lr,
+            seed=args.seed + r,
+        )
+        params, student = distiller.run(
+            log_every=max(args.iterations // 10, 1) if args.wordy else None
+        )
+        steps //= 2
+
+    save_params_npz(params, args.save_path)
+    # the student's grid is the nested odd-index subset, which an even
+    # --rescaled_num_steps respacing does NOT reproduce — record the exact
+    # original-chain indices for faithful sampling
+    indices = "/".join(str(int(i)) for i in np.asarray(student.timestep_map))
+    import json
+
+    with open(args.save_path + ".distill.json", "w") as f:
+        json.dump({"steps": steps, "timestep_indices":
+                   [int(i) for i in np.asarray(student.timestep_map)]}, f)
+    print(
+        f"Distilled to {steps} steps -> {args.save_path}. Sample with:\n"
+        f"  --sampler ddim --timestep_indices {indices}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,9 @@ from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
 
 # diffusion-arg keys we deliberately add beyond the reference CLI
 # (documented capability extensions); stripped before exact-dict parity
-_EXTENSION_DIFF_KEYS = {"sampler", "respacing", "clip_x", "dynamic_threshold"}
+_EXTENSION_DIFF_KEYS = {
+    "sampler", "respacing", "clip_x", "dynamic_threshold", "timestep_indices",
+}
 
 
 def _both(prog, argv):

@@ -1,0 +1,145 @@
+"""Progressive distillation tests (training/distill.py; Salimans & Ho
+2202.00512 — capability extension, no reference analogue): exact grid
+nesting, the implied one-step target against the delta-data closed form,
+a full halving round on a tiny UNet (loss decreases, student samples at
+N/2), and CLI plumbing for faithful distilled-grid sampling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nicediffusion_tpu.diffusion.process import Diffusion
+from nicediffusion_tpu.models.unet import DiffusionModel
+from nicediffusion_tpu.training.distill import (
+    ProgressiveDistiller,
+    make_student_diffusion,
+)
+
+from test_dpmpp import DeltaOracle, _original_acp
+
+TINY = dict(
+    resolution=8, in_channels=1, model_channels=32, out_channels=1,
+    num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+    num_heads=2, num_classes=None, dropout=0.0, resblock_updown=True,
+    use_adaptive_gn=True, split_qkv_first=True,
+)
+
+# 160/16 divides evenly: eq.-19 yields exactly 16 kept indices (the
+# reference's respacing can return a different count otherwise, e.g.
+# 200/16 -> 17)
+DARGS = dict(
+    original_num_steps=160, rescaled_num_steps=16,
+    sampling_var_type="small", loss_type="simple", beta_schedule="cosine",
+)
+
+
+def test_student_grid_nests_in_teacher():
+    teacher = Diffusion(model=None, **DARGS, use_ddim=True, ddim_eta=0.0)
+    student = make_student_diffusion(None, DARGS, teacher)
+    assert student.rescaled_num_steps == 8
+    t_map = np.asarray(teacher.timestep_map)
+    s_map = np.asarray(student.timestep_map)
+    np.testing.assert_array_equal(s_map, t_map[1::2])
+    # shared alphas_cumprod at the nested points
+    np.testing.assert_allclose(
+        np.asarray(student._acp), np.asarray(teacher._acp)[1::2], rtol=1e-6
+    )
+    # student boundary j -> teacher acp_prev[2j]
+    np.testing.assert_allclose(
+        np.asarray(student._acp_prev),
+        np.asarray(teacher._acp_prev)[0::2], rtol=1e-6
+    )
+
+
+def test_target_is_mu_for_delta_teacher():
+    """For delta data the teacher's 2-step DDIM is exact, so the implied
+    one-step target must be exactly mu at every step index."""
+    probe = Diffusion(model=None, **DARGS, use_ddim=True, ddim_eta=0.0)
+    mu = 0.4 * jnp.ones((1, 8, 8, 1), dtype=jnp.float32)
+    oracle = DeltaOracle(mu, _original_acp(probe))
+
+    def loader():
+        while True:
+            yield np.zeros((4, 8, 8, 1), np.float32), None
+
+    distiller = ProgressiveDistiller(
+        model=oracle, teacher_params={"w": jnp.zeros(1)},
+        diffusion_args=DARGS, dataloader=loader(), iterations=0,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 1))
+    for jj in (0, 3, 7):
+        j = jnp.full((4,), jj, dtype=jnp.int32)
+        target, _ = distiller._target_x0({"w": jnp.zeros(1)}, z, j, None)
+        np.testing.assert_allclose(
+            np.asarray(target), np.broadcast_to(np.asarray(mu), z.shape),
+            atol=1e-4, err_msg=f"j={jj}",
+        )
+
+
+@pytest.mark.slow
+def test_distillation_round_end_to_end():
+    model = DiffusionModel(**TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+
+    rng = np.random.default_rng(0)
+    data = (0.6 * np.sin(
+        np.linspace(0, 3, 8)[None, :, None, None]
+        + rng.uniform(0, 6, size=(64, 1, 1, 1))
+    )).astype(np.float32) * np.ones((1, 1, 8, 1), np.float32)
+
+    def loader():
+        while True:
+            idx = rng.integers(0, 64, size=(8,))
+            yield data[idx], None
+
+    distiller = ProgressiveDistiller(
+        model=model, teacher_params=params, diffusion_args=DARGS,
+        dataloader=loader(), iterations=30, lr=3e-4, seed=1,
+    )
+    losses = []
+    orig_step = distiller._step_fn
+
+    def tracked(*a):
+        s, m = orig_step(*a)
+        losses.append(float(m["loss"]))
+        return s, m
+
+    distiller._step_fn = tracked
+    student_params, student = distiller.run()
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+    out = student.denoise(student_params, jax.random.PRNGKey(2), batch_size=2)
+    assert out.shape == (2, 8, 8, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_odd_teacher_steps_rejected():
+    args = dict(DARGS, original_num_steps=90, rescaled_num_steps=9)
+    teacher = Diffusion(model=None, **args, use_ddim=True, ddim_eta=0.0)
+    with pytest.raises(AssertionError):
+        make_student_diffusion(None, args, teacher)
+
+
+def test_cli_timestep_indices_flag():
+    from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
+
+    parser = make_argparser("diff_sample")
+    args = parser.parse_args(
+        ["--model_path", "64x64_diffusion.pt", "--batch_size", "2",
+         "--num_samples", "1", "--timestep_indices", "60/140/220/300"]
+    )
+    _, _, d = get_dicts_from_args(args)
+    assert d["timestep_indices"] == [60, 140, 220, 300]
+    diff = Diffusion(model=None, **{
+        k: v for k, v in d.items() if k != "classifier"
+    })
+    assert diff.rescaled_num_steps == 4
+    np.testing.assert_array_equal(
+        np.asarray(diff.timestep_map), [60, 140, 220, 300]
+    )
