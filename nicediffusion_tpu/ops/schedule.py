@@ -92,15 +92,22 @@ def respace_betas(
     # candidate set, so indices >= T are implicitly dropped.
     timestep_map = np.array([i for i in candidate if i < original_num_steps])
 
-    new_betas = []
-    last_alpha_cumprod = 1.0
-    for i in timestep_map:
-        new_betas.append(1.0 - alphas_cumprod[i] / last_alpha_cumprod)
-        last_alpha_cumprod = alphas_cumprod[i]
+    return _betas_from_kept_indices(alphas_cumprod, timestep_map), timestep_map
+
+
+def _betas_from_kept_indices(
+    alphas_cumprod: np.ndarray, indices: np.ndarray
+) -> np.ndarray:
+    """Recompute betas for a kept-index subset of a chain (the eq.-19 rule:
+    beta_j = 1 - abar_j / abar_prev-kept), shared by every respacing mode."""
+    new_betas, last = [], 1.0
+    for j in indices:
+        new_betas.append(1.0 - alphas_cumprod[j] / last)
+        last = alphas_cumprod[j]
     new_betas = np.array(new_betas, dtype=np.float64)
     if not ((new_betas > 0).all() and (new_betas <= 1).all()):
         raise ValueError("betas in invalid range after respacing")
-    return new_betas, timestep_map
+    return new_betas
 
 
 def respace_betas_karras(
@@ -111,32 +118,48 @@ def respace_betas_karras(
     arXiv:2206.00364 eq. 5 — the standard grid for few-step samplers).
 
     sigma_i spans [sigma_min, sigma_max] of the original chain with
-    sigma = sqrt((1 - abar)/abar); each grid point maps to the nearest
-    original timestep (deduplicated, ascending). Betas are recomputed from
-    the kept alphas_cumprod exactly as eq.-19 respacing does, so every
-    coefficient table downstream is consistent.
+    sigma = sqrt((1 - abar)/abar). Matching is done in log-sigma space with
+    a monotone assignment that guarantees exactly ``rescaled_num_steps``
+    DISTINCT indices: walking the grid from high to low sigma, each point
+    takes the nearest original index still below the previous pick (the
+    rho-grid is denser than the discrete chain near sigma_min, so naive
+    nearest-then-unique silently shrank the grid — cosine-1000 requested
+    20 kept only 12/13). Betas are recomputed from the kept alphas_cumprod
+    exactly as eq.-19 respacing does, so every coefficient table
+    downstream is consistent.
     """
     original_num_steps = len(betas)
+    if rescaled_num_steps > original_num_steps:
+        raise ValueError("cannot respace to more steps than the chain has")
     alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
     sigmas = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
-    s_min, s_max = sigmas[0], sigmas[-1]
+    # EDM's sampling sigma range [0.002, 80] (arXiv:2206.00364 Table 1):
+    # cosine chains have beta clipped at 0.999, making tail sigmas explode
+    # (~3e4) — without the cap most of the rho grid lands inside the last
+    # few (pure-noise) timesteps. At sigma=80 the signal fraction is
+    # sqrt(acp) ~ 0.012, consistent with the N(0,I) start.
+    s_min = max(sigmas[0], 2e-3)
+    s_max = min(sigmas[-1], 80.0)
     i = np.linspace(0, 1, rescaled_num_steps)
     grid = (
         s_max ** (1.0 / rho) + i * (s_min ** (1.0 / rho) - s_max ** (1.0 / rho))
     ) ** rho  # descending sigma
-    # nearest original index per grid sigma (sigmas ascend with t)
-    idx = np.abs(sigmas[None, :] - grid[:, None]).argmin(axis=1)
-    timestep_map = np.unique(idx)  # ascending, deduplicated
+    log_sigmas = np.log(sigmas)
+    nearest = np.abs(
+        log_sigmas[None, :] - np.log(grid)[:, None]
+    ).argmin(axis=1)  # per grid point, descending in t
 
-    new_betas = []
-    last = 1.0
-    for j in timestep_map:
-        new_betas.append(1.0 - alphas_cumprod[j] / last)
-        last = alphas_cumprod[j]
-    new_betas = np.array(new_betas, dtype=np.float64)
-    if not ((new_betas > 0).all() and (new_betas <= 1).all()):
-        raise ValueError("betas in invalid range after karras respacing")
-    return new_betas, timestep_map
+    picks = []
+    prev = original_num_steps
+    for k in range(rescaled_num_steps):
+        j = min(int(nearest[k]), prev - 1)
+        # leave room for the remaining points below
+        j = max(j, rescaled_num_steps - k - 1)
+        picks.append(j)
+        prev = j
+    timestep_map = np.array(picks[::-1], dtype=np.int64)  # ascending
+
+    return _betas_from_kept_indices(alphas_cumprod, timestep_map), timestep_map
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,11 +224,7 @@ class DiffusionSchedule:
                     and idx[-1] < original_num_steps):
                 raise ValueError("timestep_indices must be ascending and in range")
             acp = np.cumprod(1.0 - betas)
-            new_betas, last = [], 1.0
-            for j in idx:
-                new_betas.append(1.0 - acp[j] / last)
-                last = acp[j]
-            betas, timestep_map = np.array(new_betas, np.float64), idx
+            betas, timestep_map = _betas_from_kept_indices(acp, idx), idx
         elif respacing == "even":
             betas, timestep_map = respace_betas(betas, rescaled_num_steps)
         elif respacing == "karras":

@@ -182,7 +182,15 @@ class ProgressiveDistiller:
         return jax.jit(step, donate_argnums=(0,))
 
     def run(self, log_every: int | None = None):
-        """One halving round; returns (student_params, student_diffusion)."""
+        """One halving round; returns (student_params, student_diffusion).
+
+        Returns the live optimised params, NOT the EMA copy: at typical
+        distillation budgets (10^3-10^4 steps) a 0.9999-decay EMA still
+        carries most of its weight on the teacher initialisation
+        (0.9999^2000 = 0.82), which would silently discard the round's
+        training. The EMA remains available as `self.state.ema_params`
+        for long runs where it has converged.
+        """
         for it in range(self.iterations):
             batch, labels = next(self.loader)
             batch = jnp.asarray(batch)
@@ -198,4 +206,4 @@ class ProgressiveDistiller:
                     f"distill step {it + 1}/{self.iterations}: "
                     f"loss={float(metrics['loss']):.5f}"
                 )
-        return self.state.ema_params, self.student
+        return self.state.params, self.student

@@ -84,8 +84,15 @@ def main():
             idx = rng.integers(0, len(images), size=(args.batch_size,))
             yield images[idx], (labels[idx] if labels is not None else None)
 
+    if args.rounds < 1:
+        sys.exit("error: --rounds must be >= 1")
     steps = args.steps or diff_args["rescaled_num_steps"]
     student = None
+    # round r's teacher grid: the preset/--steps even respacing for round 1,
+    # then the PREVIOUS STUDENT'S exact nested grid — an even re-respacing
+    # at N/2 would put later rounds on timesteps the student was never
+    # trained on (grids do not nest across eq.-19 respacings)
+    teacher_args = dict(diff_args, rescaled_num_steps=steps)
     for r in range(args.rounds):
         if steps % 2:
             sys.exit(f"error: cannot halve odd step count {steps}")
@@ -95,7 +102,7 @@ def main():
         distiller = ProgressiveDistiller(
             model=model,
             teacher_params=params,
-            diffusion_args=dict(diff_args, rescaled_num_steps=steps),
+            diffusion_args=teacher_args,
             dataloader=loader(),
             iterations=args.iterations,
             lr=args.lr,
@@ -104,7 +111,12 @@ def main():
         params, student = distiller.run(
             log_every=max(args.iterations // 10, 1) if args.wordy else None
         )
-        steps //= 2
+        steps = student.rescaled_num_steps
+        teacher_args = dict(
+            diff_args,
+            rescaled_num_steps=steps,
+            timestep_indices=np.asarray(student.timestep_map),
+        )
 
     save_params_npz(params, args.save_path)
     # the student's grid is the nested odd-index subset, which an even

@@ -162,14 +162,17 @@ def main():
                  model_args["in_channels"]),
                 dtype=jnp.float32,
             )
-            steps = diff_args["rescaled_num_steps"]
+            # the ACTUAL chain length — diff_args' requested count can
+            # differ (eq.-19 rounding, karras dedup, --timestep_indices)
+            steps = diffusion.rescaled_num_steps
             denoise_input = data
         else:
-            # original-chain steps -> rescaled steps (reference sample.py:77)
+            # original-chain steps -> rescaled steps (reference sample.py:77),
+            # on the actual chain length
             steps = (
                 STEPS_TO_DO
-                * diff_args["rescaled_num_steps"]
-                // diff_args["original_num_steps"]
+                * diffusion.rescaled_num_steps
+                // diffusion.original_num_steps
             )
             denoise_input = diffusion.diffuse(
                 start_batch, rng=data_rng, steps_to_do=steps

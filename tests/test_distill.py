@@ -119,6 +119,38 @@ def test_distillation_round_end_to_end():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_second_round_teacher_keeps_student_grid():
+    """Round r+1's teacher must sample on round r's student grid (an even
+    re-respacing at N/2 lands on different timesteps — regression for the
+    multi-round grid mismatch)."""
+    teacher1 = Diffusion(model=None, **DARGS, use_ddim=True, ddim_eta=0.0)
+    student1 = make_student_diffusion(None, DARGS, teacher1)
+    # what scripts/distill.py now builds for round 2
+    args2 = dict(
+        DARGS, rescaled_num_steps=student1.rescaled_num_steps,
+        timestep_indices=np.asarray(student1.timestep_map),
+    )
+    teacher2 = Diffusion(model=None, **args2, use_ddim=True, ddim_eta=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(teacher2.timestep_map), np.asarray(student1.timestep_map)
+    )
+    # and the wrong (even) respacing really is a different grid
+    wrong = Diffusion(
+        model=None,
+        **dict(DARGS, rescaled_num_steps=student1.rescaled_num_steps),
+        use_ddim=True, ddim_eta=0.0,
+    )
+    assert not np.array_equal(
+        np.asarray(wrong.timestep_map), np.asarray(student1.timestep_map)
+    )
+    # round-2 student nests again
+    student2 = make_student_diffusion(None, args2, teacher2)
+    np.testing.assert_array_equal(
+        np.asarray(student2.timestep_map),
+        np.asarray(student1.timestep_map)[1::2],
+    )
+
+
 def test_odd_teacher_steps_rejected():
     args = dict(DARGS, original_num_steps=90, rescaled_num_steps=9)
     teacher = Diffusion(model=None, **args, use_ddim=True, ddim_eta=0.0)
