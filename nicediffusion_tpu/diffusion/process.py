@@ -149,6 +149,7 @@ class Diffusion:
         respacing: str = "even",
         dynamic_threshold: float = 0.995,
         timestep_indices=None,
+        prediction_type: str = "eps",
     ):
         if guidance_method not in (None, "classifier", "classifier_free"):
             raise NotImplementedError(guidance_method)
@@ -182,6 +183,16 @@ class Diffusion:
         # by s. Capability extension; prevents CFG saturation at high w.
         if clip_x not in (True, False, "dynamic"):
             raise NotImplementedError(clip_x)
+        # Model-output convention (capability extension; the reference is
+        # eps-only): 'eps' predicts the noise; 'v' predicts
+        # v = alpha*eps - sigma*x0 (Salimans & Ho 2202.00512 App. D — the
+        # numerically stable choice for few-step/distilled models). The
+        # conversion eps = sigma*x_t + alpha*v happens once at the model
+        # boundary (_split_out callers), so every sampler, loss, and
+        # guidance path downstream is parameterisation-agnostic.
+        if prediction_type not in ("eps", "v"):
+            raise NotImplementedError(prediction_type)
+        self.prediction_type = prediction_type
         self.clip_x = clip_x
         self.dynamic_threshold = dynamic_threshold
         self.sampling_var_type = VarType.parse(sampling_var_type)
@@ -325,11 +336,21 @@ class Diffusion:
             return eps, raw
         return out, None
 
+    def _to_eps(self, pred, x_t, t):
+        """Convert the model's native prediction to epsilon. For 'v':
+        eps = sigma_t * x_t + alpha_t * v (from v = alpha*eps - sigma*x0
+        and x_t = alpha*x0 + sigma*eps). Identity for 'eps'."""
+        if self.prediction_type == "eps":
+            return pred
+        a = jnp.sqrt(_bcast(self._acp, t, x_t.ndim))
+        s = _bcast(self._sqrt_1macp, t, x_t.ndim)
+        return s * x_t + a * pred
+
     def get_eps_and_log_var(self, params, x_t, t, y=None):
         """Predicted epsilon and (learned or fixed) log variance
         (reference diffusion.py:242-264)."""
-        eps, raw = self._split_out(self._apply_model(params, x_t, t, y))
-        return eps, self._resolve_log_var(raw, t, x_t.ndim)
+        pred, raw = self._split_out(self._apply_model(params, x_t, t, y))
+        return self._to_eps(pred, x_t, t), self._resolve_log_var(raw, t, x_t.ndim)
 
     def _cfg_combine(self, out2):
         """CFG arithmetic on a doubled-batch model output: `(1+w)*eps_c -
@@ -353,8 +374,11 @@ class Diffusion:
             t2 = jnp.concatenate([t, t], axis=0)
             y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
             out = self._cfg_combine(self._apply_model(params, x2, t2, y2))
+            # (for 'v' models the CFG mix in v-space equals the mix in
+            # eps-space: the v->eps map is affine in v at fixed x_t)
 
-        eps, raw = self._split_out(out)
+        pred, raw = self._split_out(out)
+        eps = self._to_eps(pred, x, t)
         if not want_log_var:
             return eps, None
         return eps, self._resolve_log_var(raw, t, x.ndim)
@@ -406,7 +430,8 @@ class Diffusion:
             )
             out = self._cfg_combine(out2)
 
-        eps, raw = self._split_out(out)
+        pred, raw = self._split_out(out)
+        eps = self._to_eps(pred, x, t)
         if not want_log_var:
             return (eps, None), cache
         return (eps, self._resolve_log_var(raw, t, x.ndim)), cache
@@ -766,18 +791,30 @@ class Diffusion:
                             "deterministic": False}
         out = self.model.apply({"params": params}, x_t, mapped, **kwargs,
                                **apply_kwargs)
-        eps_pred, raw = self._split_out(out)
+        pred, raw = self._split_out(out)
         log_var = self._resolve_log_var(raw, t, x_t.ndim)
 
+        # SIMPLE regresses the model's NATIVE target ('eps': the noise;
+        # 'v': alpha*noise - sigma*x_0 — regressing converted eps instead
+        # would re-weight the loss by alpha_t^2 and lose the point of the
+        # v-parameterisation); the VLB always consumes epsilon.
+        if self.prediction_type == "v":
+            a = jnp.sqrt(_bcast(self._acp, t, x_t.ndim))
+            s = _bcast(self._sqrt_1macp, t, x_t.ndim)
+            target = a * noise - s * x_0
+        else:
+            target = noise
+        eps_pred = self._to_eps(pred, x_t, t)
+
         if self.loss_type == LossType.SIMPLE:
-            return mean_flat((eps_pred - noise) ** 2)
+            return mean_flat((pred - target) ** 2)
         elif self.loss_type in (LossType.KL, LossType.KL_RESCALED):
             loss = self.variational_lower_bound(x_0, x_t, t, eps_pred, log_var)
             if self.loss_type == LossType.KL_RESCALED:
                 loss = loss * self.rescaled_num_steps
             return loss
         else:  # HYBRID
-            loss_simple = mean_flat((eps_pred - noise) ** 2)
+            loss_simple = mean_flat((pred - target) ** 2)
             eps_detached = jax.lax.stop_gradient(eps_pred)
             loss_vlb = (
                 self.variational_lower_bound(x_0, x_t, t, eps_detached, log_var)

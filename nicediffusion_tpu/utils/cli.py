@@ -143,6 +143,11 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
                    help="timestep-grid placement: 'even' (reference eq.-19 "
                         "stride, default) or 'karras' (rho-grid in sigma "
                         "space — better few-step sampling)")
+    d.add_argument("--prediction_type", type=str, default="eps", metavar=o,
+                   choices=("eps", "v"),
+                   help="model output convention: 'eps' (noise, the "
+                        "reference's) or 'v' (v = alpha*eps - sigma*x0 — "
+                        "stable for few-step/distilled models)")
     d.add_argument("--timestep_indices", type=str, default=None, metavar=o,
                    help="'/'-separated original-chain timestep indices to "
                         "sample on (overrides --rescaled_num_steps/"
@@ -172,7 +177,7 @@ _MODEL_KEYS = [
 ]
 _DIFF_KEYS = [
     "rescaled_num_steps", "original_num_steps", "use_ddim", "sampler",
-    "respacing", "timestep_indices", "ddim_eta",
+    "respacing", "timestep_indices", "prediction_type", "ddim_eta",
     "beta_schedule", "sampling_var_type", "classifier", "guidance_method",
     "guidance_strength", "loss_type",
 ]

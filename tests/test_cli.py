@@ -16,6 +16,7 @@ from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
 # (documented capability extensions); stripped before exact-dict parity
 _EXTENSION_DIFF_KEYS = {
     "sampler", "respacing", "clip_x", "dynamic_threshold", "timestep_indices",
+    "prediction_type",
 }
 
 
