@@ -342,7 +342,8 @@ class Diffusion:
         and x_t = alpha*x0 + sigma*eps). Identity for 'eps'."""
         if self.prediction_type == "eps":
             return pred
-        a = jnp.sqrt(_bcast(self._acp, t, x_t.ndim))
+        # f64-derived host tables, like every other coefficient lookup
+        a = _bcast(self._sqrt_acp, t, x_t.ndim)
         s = _bcast(self._sqrt_1macp, t, x_t.ndim)
         return s * x_t + a * pred
 
@@ -799,7 +800,7 @@ class Diffusion:
         # would re-weight the loss by alpha_t^2 and lose the point of the
         # v-parameterisation); the VLB always consumes epsilon.
         if self.prediction_type == "v":
-            a = jnp.sqrt(_bcast(self._acp, t, x_t.ndim))
+            a = _bcast(self._sqrt_acp, t, x_t.ndim)
             s = _bcast(self._sqrt_1macp, t, x_t.ndim)
             target = a * noise - s * x_0
         else:

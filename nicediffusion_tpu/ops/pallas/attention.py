@@ -221,7 +221,12 @@ def _fused_bwd_kernel(
     # small enough for VMEM alongside the double-buffered qkv/g/o/dqkv
     # blocks; dk/dv accumulate across tiles in f32. The tile loop is a
     # fori_loop (not python-unrolled) so Mosaic reuses one set of temps.
+    # The wrapper pads n to a multiple of the tile, so n // qb is exact —
+    # an inexact split would leave trailing dq rows UNWRITTEN (real-TPU
+    # garbage/NaN; interpret mode zero-fills and hid it — the EMNIST
+    # 14x14 level, N=196 -> 200, hit exactly this).
     qb = min(128, n)
+    assert n % qb == 0, (n, qb)
     n_blocks = n // qb
 
     for head in range(num_heads):
@@ -307,7 +312,12 @@ def mha_attention_fused_qkv_bwd(
     hc = c // num_heads
     scale = hc**-0.5
 
-    n_pad = (-n) % 8
+    # pad the sequence to a multiple of the kernel's query tile (128 when
+    # n > 128, else the sublane 8) so the fori_loop covers every row —
+    # see the tiling note in _fused_bwd_kernel. Padded g rows are zero, so
+    # they contribute nothing to dk/dv and their dq rows are sliced off.
+    tile = 128 if n > 128 else 8
+    n_pad = (-n) % tile
     if n_pad:
         qkv = jnp.pad(qkv, ((0, 0), (0, n_pad), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, n_pad), (0, 0)))

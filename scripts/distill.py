@@ -38,6 +38,9 @@ def main():
     p.add_argument("--data", default=None)
     p.add_argument("--save_path", default="distilled.npz")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--prediction_type", type=str, default="eps",
+                   choices=("eps", "v"),
+                   help="model output convention of the teacher checkpoint")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-w", "--wordy", action="store_true")
     args = p.parse_args()
@@ -92,7 +95,8 @@ def main():
     # then the PREVIOUS STUDENT'S exact nested grid — an even re-respacing
     # at N/2 would put later rounds on timesteps the student was never
     # trained on (grids do not nest across eq.-19 respacings)
-    teacher_args = dict(diff_args, rescaled_num_steps=steps)
+    teacher_args = dict(diff_args, rescaled_num_steps=steps,
+                        prediction_type=args.prediction_type)
     for r in range(args.rounds):
         if steps % 2:
             sys.exit(f"error: cannot halve odd step count {steps}")
@@ -116,6 +120,7 @@ def main():
             diff_args,
             rescaled_num_steps=steps,
             timestep_indices=np.asarray(student.timestep_map),
+            prediction_type=args.prediction_type,
         )
 
     save_params_npz(params, args.save_path)

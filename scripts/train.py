@@ -92,6 +92,11 @@ def main():
 
     model_args = dict(MODEL_PRESETS["EMNIST"])
     diff_args = dict(DIFFUSION_PRESETS["EMNIST"])
+    # diffusion-group flags the EMNIST recipe honours beyond the preset
+    # (the reference's train.py ignores its CLI entirely — hard-coded
+    # recipe, reference scripts/train.py:24-36)
+    if args.prediction_type != "eps":
+        diff_args["prediction_type"] = args.prediction_type
 
     # null class for classifier-free guidance (reference train.py:39-40)
     if diff_args["guidance_method"] == "classifier_free":

@@ -207,3 +207,41 @@ def test_groupnorm_large_block_single_buffer(rng_np, monkeypatch):
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=1e-2, atol=3e-2,
     )
+
+
+def test_bwd_kernel_covers_non_tile_multiple_sequences():
+    """Regression: N=196 (EMNIST 14x14) pads to 200 under the old sublane-8
+    rule, and the backward kernel's 128-row query tiling then left rows
+    128..199 of dq UNWRITTEN (garbage/NaN on real TPU; interpret zero-fills
+    which hid it). The wrapper now pads to a tile multiple; grads must match
+    einsum autodiff at every row."""
+    import os
+
+    from nicediffusion_tpu.ops.attention import (
+        _einsum_attention,
+        qkv_attention,
+    )
+
+    os.environ["NICEDIFFUSION_PALLAS_INTERPRET"] = "1"
+    try:
+        for n in (49, 136, 196, 200, 256):
+            c, heads = 32, 4
+            qkv = jax.random.normal(
+                jax.random.PRNGKey(n), (2, n, 3 * c), jnp.float32
+            )
+            g = jax.random.normal(
+                jax.random.PRNGKey(n + 1), (2, n, c), jnp.float32
+            )
+            gp = jax.grad(
+                lambda x: jnp.vdot(qkv_attention(x, heads, True, use_pallas=True), g)
+            )(qkv)
+            ge = jax.grad(
+                lambda x: jnp.vdot(_einsum_attention(x, heads, True), g)
+            )(qkv)
+            assert np.isfinite(np.asarray(gp)).all(), n
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(ge), atol=2e-4, rtol=1e-3,
+                err_msg=f"N={n}",
+            )
+    finally:
+        os.environ.pop("NICEDIFFUSION_PALLAS_INTERPRET", None)

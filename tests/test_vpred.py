@@ -105,6 +105,27 @@ def test_v_loss_uses_native_target():
     loss = diff.loss(None, x0, t, jax.random.PRNGKey(4))
     assert float(jnp.max(loss)) < 1e-6, loss
 
+    # regression for the NATIVE-target semantics: a model off by a constant
+    # delta in v-space must incur exactly mean(delta^2) — the old
+    # converted-eps regression would give mean((alpha_t * delta)^2), which
+    # is alpha_t^2-reweighted and much smaller at high t
+    delta = 0.3
+
+    class OffsetV(PerfectV):
+        def apply(self, variables, x, t):
+            return super().apply(variables, x, t) + delta
+
+    diff_off = Diffusion(
+        model=OffsetV(_original_acp(probe), x0), original_num_steps=1000,
+        rescaled_num_steps=10, sampling_var_type="small",
+        loss_type="simple", beta_schedule="cosine", prediction_type="v",
+    )
+    t_hi = jnp.array([9, 9, 9, 9])  # high t: alpha_t^2 << 1 discriminates
+    loss_off = np.asarray(diff_off.loss(None, x0, t_hi, jax.random.PRNGKey(5)))
+    np.testing.assert_allclose(loss_off, delta**2, rtol=1e-4)
+    alpha_sq = float(np.asarray(diff_off._acp)[9])
+    assert alpha_sq * delta**2 < 0.5 * delta**2  # the wrong value is far off
+
 
 def test_invalid_prediction_type():
     with pytest.raises(NotImplementedError):
