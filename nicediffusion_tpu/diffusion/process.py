@@ -302,13 +302,22 @@ class Diffusion:
     # Model output handling
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _variables(params):
+        """Accept either a bare params pytree or a full flax variables dict
+        (e.g. ``{"params": ..., "quant": ...}`` from the int8 serving path,
+        ops/quant.py build_int8_variables)."""
+        if isinstance(params, dict) and "params" in params:
+            return params
+        return {"params": params}
+
     def _apply_model(self, params, x, t, y):
         """Run the UNet at the mapped original timestep (diffusion.py:246)."""
         mapped = jnp.take(self.timestep_map, t)
         kwargs = dict(self.model_kwargs)
         if self.model.conditional:
             kwargs["y"] = y
-        return self.model.apply({"params": params}, x, mapped, **kwargs)
+        return self.model.apply(self._variables(params), x, mapped, **kwargs)
 
     def _resolve_log_var(self, raw_log_var, t, ndim):
         """Resolve the log-variance per sampling_var_type
@@ -402,16 +411,17 @@ class Diffusion:
             )
         mapped = jnp.take(self.timestep_map, t)
         apply = self.model.apply
+        variables = self._variables(params)
         emb = apply(
-            {"params": params}, mapped,
+            variables, mapped,
             y if self.model.conditional else None, method=self.model.embed,
         )
         if refresh:
-            h, xs = apply({"params": params}, x, emb, method=self.model.encode)
+            h, xs = apply(variables, x, emb, method=self.model.encode)
             cache = (h, tuple(xs))
         h, xs = cache
         out = apply(
-            {"params": params}, h, list(xs), emb, method=self.model.decode
+            variables, h, list(xs), emb, method=self.model.decode
         )
         return out, cache
 
@@ -740,6 +750,13 @@ class Diffusion:
             assert y is not None, "pass label iff model is class-conditional"
         else:
             assert y is None, "pass label iff model is class-conditional"
+
+        if encoder_cache is not None and encoder_cache < 1:
+            raise ValueError(
+                f"encoder_cache must be >= 1 (got {encoder_cache}); k=1 is "
+                "the exact uncached sampler, k>1 reuses encoder features "
+                "for k-1 of every k steps"
+            )
 
         if start_step is None:
             start_step = self.rescaled_num_steps

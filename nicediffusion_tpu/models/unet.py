@@ -53,9 +53,26 @@ class Int8Conv(nn.Module):
     """Conv with int8 x int8 -> int32 MXU compute (serving fast path).
 
     Holds the exact same parameters ('kernel' HWIO f32, 'bias') as nn.Conv,
-    so checkpoints load unchanged; weights are quantized per output channel
-    and activations dynamically per tensor inside the op (ops/quant.py).
-    Opt-in and lossy — see scripts/sample.py --dtype int8.
+    so checkpoints load unchanged. Three modes, selected by which flax
+    collections the caller supplies (ops/quant.py build_int8_variables
+    drives the calibrate -> freeze sequence):
+
+      * calibration (``mutable=['calib']``): runs the FLOAT conv and sows
+        the input-activation absmax into the 'calib' collection;
+      * freeze (``mutable=['quant']``, 'calib' provided): quantizes the
+        weights per output channel ONCE and stores {kernel_q int8,
+        inv_act f32 scalar, deq f32 [Cout]} into 'quant';
+      * serving ('quant' provided): static-scale int8 conv — the only
+        per-call overhead beyond the int8 MXU conv is a round/clip that
+        XLA fuses into the producing op's epilogue. Measured 1.15-1.5x
+        bf16 on the UNet's GN+SiLU->conv patterns (tools/int8_probe2.py),
+        where round-2's dynamic path lost half its gain to the per-call
+        absmax reduce and in-scan weight requantization.
+
+    Without any of those collections this falls back to the dynamic
+    per-tensor path (kept as an ablation; BASELINE.md round-2 shows it
+    does NOT pay off end-to-end). Opt-in and lossy — see
+    scripts/sample.py --dtype int8.
     """
 
     features: int
@@ -66,7 +83,11 @@ class Int8Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.quant import int8_conv
+        from ..ops.quant import (
+            int8_conv,
+            int8_conv_static,
+            quantize_weight_channelwise,
+        )
 
         k = self.kernel_size
         kernel = self.param(
@@ -76,9 +97,44 @@ class Int8Conv(nn.Module):
             (k, k, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out_dtype = self.dtype or x.dtype
+
+        if self.is_mutable_collection("calib"):
+            self.sow(
+                "calib", "absmax", jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+            pad = ((k // 2, k // 2),) * 2
+            o = jax.lax.conv_general_dilated(
+                x.astype(out_dtype), kernel.astype(out_dtype),
+                (self.stride, self.stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            return (o + bias.astype(jnp.float32)).astype(out_dtype)
+
+        if self.is_mutable_collection("quant"):
+            absmax = self.get_variable("calib", "absmax")
+            if isinstance(absmax, tuple):
+                absmax = absmax[0]
+            act_scale = jnp.maximum(
+                jnp.asarray(absmax, jnp.float32), 1e-6
+            ) / 127.0
+            w_q, s_w = quantize_weight_channelwise(kernel, axis=-1)
+            self.variable("quant", "kernel_q", lambda: w_q)
+            self.variable("quant", "inv_act", lambda: 1.0 / act_scale)
+            self.variable("quant", "deq", lambda: s_w * act_scale)
+
+        if self.has_variable("quant", "kernel_q"):
+            return int8_conv_static(
+                x,
+                self.get_variable("quant", "kernel_q"),
+                self.get_variable("quant", "inv_act"),
+                self.get_variable("quant", "deq"),
+                bias=bias, stride=self.stride, out_dtype=out_dtype,
+            )
+
         return int8_conv(
-            x, kernel, bias=bias, stride=self.stride,
-            out_dtype=self.dtype or x.dtype,
+            x, kernel, bias=bias, stride=self.stride, out_dtype=out_dtype,
         )
 
 

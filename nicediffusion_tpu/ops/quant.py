@@ -14,6 +14,8 @@ SURVEY.md §6) — this is new TPU-native scope.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +24,10 @@ __all__ = [
     "quantize_activation",
     "int8_conv",
     "int8_dense",
+    "int8_conv_static",
+    "merge_calibrations",
+    "build_int8_variables",
+    "calibration_inputs",
 ]
 
 
@@ -72,6 +78,141 @@ def int8_conv(x, w, bias=None, stride: int = 1, out_dtype=None):
     if bias is not None:
         o = o + bias.astype(jnp.float32)
     return o.astype(out_dtype)
+
+
+def int8_conv_static(x, w_q, inv_act_scale, deq, bias=None, stride: int = 1,
+                     out_dtype=None):
+    """Static-scale int8 conv: the round-3 serving fast path.
+
+    Unlike `int8_conv` (dynamic per-tensor activation scale computed with a
+    full absmax reduce every call), the activation scale here is a
+    CALIBRATED constant and the weights arrive already quantized — so the
+    only per-call work beyond the int8 MXU conv is an elementwise
+    round/clip that XLA fuses into the producing op's epilogue (the GN/SiLU
+    that precedes every conv in the UNet). Measured on a v5e chip this is
+    what actually preserves the int8 gain in-scan: 3.39 vs 4.21 ms bf16 per
+    GN+SiLU+conv block at 64x64x192 (tools/int8_probe2.py), where the
+    dynamic path's absmax pass gave back half the win.
+
+    Args: x float NHWC; w_q int8 HWIO; inv_act_scale scalar f32
+    (1/act_scale); deq f32 [Cout] = act_scale * weight_scale.
+    """
+    out_dtype = out_dtype or x.dtype
+    x_q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * inv_act_scale), -127, 127
+    ).astype(jnp.int8)
+    kh, kw = w_q.shape[0], w_q.shape[1]
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    o = jax.lax.conv_general_dilated(
+        x_q, w_q, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    o = o.astype(jnp.float32) * deq
+    if bias is not None:
+        o = o + bias.astype(jnp.float32)
+    return o.astype(out_dtype)
+
+
+def merge_calibrations(calibs):
+    """Merge per-run 'calib' collections (sow tuples) into one pytree of
+    scalar absmax leaves, taking the max across runs."""
+
+    def _leaf(*vals):
+        flat = [
+            v
+            for tup in vals
+            for v in (tup if isinstance(tup, tuple) else (tup,))
+        ]
+        return functools.reduce(jnp.maximum, flat)
+
+    return jax.tree.map(
+        _leaf, *calibs, is_leaf=lambda x: isinstance(x, tuple)
+    )
+
+
+def build_int8_variables(model, params, sample_inputs):
+    """Calibrate and freeze the int8 serving collection.
+
+    Two passes over ``sample_inputs`` (an iterable of ``(x, mapped_t, y)``
+    model inputs drawn from the sampling distribution — see
+    `calibration_inputs`):
+
+      1. float forwards with ``mutable=['calib']``: every Int8Conv records
+         the absmax of its input activation (models/unet.py Int8Conv);
+      2. one forward with the merged stats and ``mutable=['quant']``: every
+         Int8Conv quantizes its weights per output channel and freezes
+         {kernel_q int8, inv_act f32 scalar, deq f32 [Cout]}.
+
+    Returns the full serving variables dict ``{"params": ..., "quant": ...}``
+    to pass wherever a params pytree is accepted (Diffusion.denoise and
+    friends unwrap it — diffusion/process.py _variables).
+    """
+    sample_inputs = list(sample_inputs)
+    assert sample_inputs, "need at least one calibration input"
+
+    # jitted passes: eager flax apply on a 295M UNet dispatches thousands
+    # of individual ops (pathological through the TPU relay)
+    @jax.jit
+    def calib_pass(p, x, t, y):
+        _, st = model.apply({"params": p}, x, t, y, mutable=["calib"])
+        return st["calib"]
+
+    @jax.jit
+    def freeze_pass(p, calib, x, t, y):
+        _, qvars = model.apply(
+            {"params": p, "calib": calib}, x, t, y, mutable=["quant"]
+        )
+        return qvars["quant"]
+
+    calibs = [calib_pass(params, x, t, y) for x, t, y in sample_inputs]
+    calib = merge_calibrations(calibs)
+    x, t, y = sample_inputs[0]
+    quant = freeze_pass(params, calib, x, t, y)
+    return {"params": params, "quant": quant}
+
+
+def calibration_inputs(diffusion, params, rng, y=None, batch_size=8,
+                       num_points=6, x0=None):
+    """Model inputs spanning the sampling chain for int8 calibration.
+
+    Draws one sample batch through ``diffusion`` itself (the dynamic-quant
+    path when the model is quantized — accurate enough for activation-range
+    statistics), then q-samples it back to ``num_points`` evenly spaced
+    rescaled timesteps — covering the actual marginal distribution of x_t
+    the quantized sampler will see (plus the pure-noise endpoint). Inputs
+    are CFG-doubled when the diffusion is classifier-free-guided, matching
+    serving batch statistics. Pass ``x0`` to skip the sample draw (e.g. a
+    batch of real training images). Returns a list of (x, mapped_t, y)
+    tuples for `build_int8_variables`.
+    """
+    if x0 is None:
+        rng, sample_rng = jax.random.split(rng)
+        x0 = diffusion.denoise(params, sample_rng, y=y, batch_size=batch_size)
+    else:
+        batch_size = x0.shape[0]
+
+    n = diffusion.rescaled_num_steps
+    ts = [int(round(i * (n - 1) / max(num_points - 1, 1)))
+          for i in range(num_points)]
+    inputs = []
+    for ti in sorted(set(ts)):
+        rng, noise_rng = jax.random.split(rng)
+        t = jnp.full((batch_size,), ti, dtype=jnp.int32)
+        if ti == n - 1:  # chain start: pure noise, as denoise() draws it
+            x_t = jax.random.normal(noise_rng, x0.shape, dtype=jnp.float32)
+        else:
+            noise = jax.random.normal(noise_rng, x0.shape, dtype=x0.dtype)
+            x_t = diffusion.q_sample(x0, t, noise)
+        mapped = jnp.take(diffusion.timestep_map, t)
+        if diffusion.guidance == "classifier_free":
+            x_t = jnp.concatenate([x_t, x_t], axis=0)
+            mapped = jnp.concatenate([mapped, mapped], axis=0)
+            yy = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
+        else:
+            yy = y
+        inputs.append((x_t, mapped, yy))
+    return inputs
 
 
 def int8_dense(x, w, bias=None, out_dtype=None):

@@ -115,3 +115,81 @@ def test_quantized_unet_param_compat_and_accuracy(rng_np):
     )
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_static_int8_serving_path(rng_np):
+    """Round-3 static serving path (calibrate -> freeze -> serve): the
+    'quant' collection holds int8 kernels, the serving forward tracks the
+    float forward, and the full Diffusion chain accepts the serving
+    variables dict."""
+    from nicediffusion_tpu.diffusion.process import Diffusion
+    from nicediffusion_tpu.models.unet import DiffusionModel
+    from nicediffusion_tpu.ops.quant import (
+        build_int8_variables,
+        calibration_inputs,
+    )
+
+    cfg = dict(
+        resolution=16, in_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+        num_heads=2, num_classes=5, use_adaptive_gn=True,
+        resblock_updown=True,
+    )
+    m_f = DiffusionModel(**cfg)
+    m_q = DiffusionModel(**cfg, quantized=True)
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    t = jnp.array([3, 7], jnp.int32)
+    y = jnp.array([1, 2], jnp.int32)
+    params = m_f.init(jax.random.PRNGKey(0), x, t, y)["params"]
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+
+    diff_args = dict(
+        original_num_steps=20, rescaled_num_steps=10,
+        sampling_var_type="learned_interpolation", loss_type="hybrid",
+        beta_schedule="cosine", guidance_method="classifier_free",
+        guidance_strength=0.8,
+    )
+    diff_q = Diffusion(model=m_q, **diff_args)
+
+    inputs = calibration_inputs(
+        diff_q, params, jax.random.PRNGKey(7), y=y, batch_size=2,
+        num_points=3,
+    )
+    serving = build_int8_variables(m_q, params, inputs)
+    assert set(serving) == {"params", "quant"}
+    q_leaves = jax.tree.leaves(serving["quant"])
+    assert any(l.dtype == jnp.int8 for l in q_leaves)
+    # every Int8Conv froze a (kernel_q, inv_act, deq) triple
+    assert len(q_leaves) % 3 == 0 and len(q_leaves) > 0
+
+    # serving forward tracks the float forward
+    ref = np.asarray(m_f.apply({"params": params}, x, t, y))
+    out = np.asarray(m_q.apply(serving, x, t, y))
+    assert np.isfinite(out).all()
+    denom = ref.std() + 1e-6
+    assert np.abs(out - ref).max() / denom < 0.35
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.99
+
+    # the full chain accepts the serving dict; close to the exact chain
+    diff_f = Diffusion(model=m_f, **diff_args)
+    exact = np.asarray(
+        diff_f.denoise(params, jax.random.PRNGKey(3), y=y, batch_size=2)
+    )
+    quant = np.asarray(
+        diff_q.denoise(serving, jax.random.PRNGKey(3), y=y, batch_size=2)
+    )
+    assert np.isfinite(quant).all()
+    assert np.corrcoef(quant.ravel(), exact.ravel())[0, 1] > 0.98
+
+    # encoder-cache path composes with the serving dict
+    cached = np.asarray(
+        diff_q.denoise(serving, jax.random.PRNGKey(3), y=y, batch_size=2,
+                       encoder_cache=2)
+    )
+    assert np.isfinite(cached).all()
