@@ -364,37 +364,72 @@ class Trainer:
 
     def save(self, step: int):
         """orbax checkpoint of {params, ema_params, opt_state, step}
-        (replaces reference trainer.py:136-141's three .pt files)."""
+        (replaces reference trainer.py:136-141's three .pt files).
+
+        Multi-controller safe: under ``jax.process_count() > 1`` the state's
+        jax.Arrays (with their global shardings) are handed to orbax
+        directly — its multiprocess-aware writer coordinates the processes
+        (primary-host writes for replicated arrays, internal barriers)
+        instead of every process materialising with np.asarray and racing
+        on the same files. Single-process keeps the materialised-numpy path
+        (round-trip tested in tests/test_trainer.py).
+        """
         ckptr = self._checkpointer()
-        ckptr.save(
-            self._ckpt_path(step),
-            {
+        if jax.process_count() > 1:
+            state = {
+                "step": self.state.step,
+                "params": self.state.params,
+                "ema_params": self.state.ema_params,
+                "opt_state": self.state.opt_state,
+            }
+        else:
+            state = {
                 "step": np.asarray(int(self.state.step)),
                 "params": jax.tree.map(np.asarray, self.state.params),
                 "ema_params": jax.tree.map(np.asarray, self.state.ema_params),
                 "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
-            },
-            force=True,
-        )
+            }
+        ckptr.save(self._ckpt_path(step), state, force=True)
         ckptr.wait_until_finished()
-        print("Saved checkpoint!")
+        if jax.process_index() == 0:
+            print("Saved checkpoint!")
 
     def restore(self, step: int) -> TrainState:
         """Restore a checkpoint written by save() (reference trainer.py:45-52).
 
         The freshly-initialised `self.state` serves as the structure template
-        so optax state namedtuples restore with their original treedef.
+        so optax state namedtuples restore with their original treedef. Under
+        multi-process, the template leaves are jax.ShapeDtypeStructs carrying
+        the replicated mesh sharding, so every process restores globally
+        consistent jax.Arrays (orbax broadcasts from the primary host)
+        rather than each deserialising host-local numpy copies.
         """
         ckptr = self._checkpointer()
+        multiprocess = jax.process_count() > 1
+        if multiprocess:
+            assert self.mesh is not None, (
+                "multi-process restore needs the mesh to define the "
+                "replicated sharding of the restored state"
+            )
+            repl = NamedSharding(self.mesh, P())
+
+            def leaf_template(x):
+                return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=repl)
+        else:
+            def leaf_template(x):
+                return np.asarray(x)
+
         template = {
             "step": np.zeros((), dtype=np.int64),
-            "params": jax.tree.map(np.asarray, self.state.params),
-            "ema_params": jax.tree.map(np.asarray, self.state.ema_params),
-            "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
+            "params": jax.tree.map(leaf_template, self.state.params),
+            "ema_params": jax.tree.map(leaf_template, self.state.ema_params),
+            "opt_state": jax.tree.map(leaf_template, self.state.opt_state),
         }
         restored = ckptr.restore(self._ckpt_path(step), template)
         return TrainState(
-            step=jnp.asarray(restored["step"], dtype=jnp.int32),
+            step=jnp.asarray(
+                jax.device_get(restored["step"]), dtype=jnp.int32
+            ),
             params=jax.tree.map(jnp.asarray, restored["params"]),
             opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
             ema_params=jax.tree.map(jnp.asarray, restored["ema_params"]),
