@@ -138,6 +138,38 @@ def main():
 
     diffusion = Diffusion(model=model, **diff_args)
 
+    if quantized:
+        # int8 serving setup (ops/quant.py): draw a calibration batch with
+        # the dynamic-quant path, record per-conv activation ranges over
+        # the chain, freeze pre-quantized weights + static scales. The
+        # serving variables dict rides wherever the params pytree went.
+        from nicediffusion_tpu.ops.quant import (
+            build_int8_variables,
+            calibration_inputs,
+        )
+
+        rng, calib_rng, cy_rng = jax.random.split(rng, 3)
+        calib_batch = min(BATCH_SIZE, 8)
+        calib_y = (
+            jax.random.randint(
+                cy_rng, (calib_batch,), 0, model_args["num_classes"]
+            )
+            if CONDITIONAL else None
+        )
+        if WORDY:
+            print("Calibrating int8 activation scales on one chain...")
+        params = build_int8_variables(
+            model, params,
+            calibration_inputs(
+                diffusion, params, calib_rng, y=calib_y,
+                batch_size=calib_batch,
+            ),
+        )
+        if mesh is not None:
+            from nicediffusion_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
+
     start_batch = None
     if START_IMG is not None and STEPS_TO_DO is not None:
         img = load_start_image(START_IMG, model_args["resolution"])
