@@ -96,13 +96,19 @@ def _make_progress_tick(steps_to_do: int):
 
     bars: dict = {}
 
-    def _tick(_):
-        if "bar" not in bars or bars["bar"].n >= steps_to_do:
-            bars.pop("bar", None) if "bar" in bars else None
+    def _tick(t):
+        # position derived from the step index (idempotent — robust to
+        # callback reordering and to successive chains reusing this
+        # compiled sampler; a fresh bar opens whenever none is live)
+        t = int(t)
+        if bars.get("bar") is None:
             bars["bar"] = tqdm.tqdm(total=steps_to_do)
-        bars["bar"].update(1)
-        if bars["bar"].n >= steps_to_do:
-            bars.pop("bar").close()
+        bar = bars["bar"]
+        bar.n = max(bar.n, steps_to_do - t)
+        bar.refresh()
+        if t == 0:
+            bar.close()
+            bars["bar"] = None
 
     return _tick
 

@@ -82,25 +82,36 @@ def _kernel(x_ref, gamma_ref, beta_ref, es_ref, eb_ref, w_ref, b_ref,
         jnp.float32
     )
     if ada:
-        # per-example (1, C) modulation rows
-        xn = xn * (1.0 + es_ref[...].astype(jnp.float32))
-        xn = xn + eb_ref[...].astype(jnp.float32)
+        # per-example (1, C) modulation rows (carried (B, 1, C) so the
+        # batch-blocked axis stays out of the tiled last two dims)
+        xn = xn * (1.0 + es_ref[0].astype(jnp.float32))
+        xn = xn + eb_ref[0].astype(jnp.float32)
     xn = xn * jax.nn.sigmoid(xn)
 
     # zero-padded normalized map in VMEM scratch, conv dtype
     xn_ref[...] = jnp.zeros(xn_ref.shape, xn_ref.dtype)
     xn_ref[1 : h + 1, 1 : w + 1, :] = xn.reshape(h, w, c).astype(xn_ref.dtype)
 
-    # implicit-GEMM 3x3 conv: 9 shifted (HW, C) x (C, F) dots
-    acc = jnp.zeros((h * w, f), dtype=jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = xn_ref[dy : dy + h, dx : dx + w, :].reshape(h * w, c)
-            acc = acc + jnp.dot(
-                patch, w_ref[dy, dx], preferred_element_type=jnp.float32
-            )
-    acc = acc + b_ref[...].astype(jnp.float32)
-    out_ref[0] = acc.reshape(h, w, f).astype(out_dtype)
+    # implicit-GEMM 3x3 conv: 9 shifted (rows*W, C) x (C, F) dots, row-
+    # chunked so the f32 accumulator stays small (at 64x64x192 a full
+    # (4096, 192) f32 accumulator pushed the kernel past VMEM)
+    chunk = h
+    while chunk * w * f * 4 > 1 << 20 and chunk % 2 == 0:
+        chunk //= 2
+    bias = b_ref[...].astype(jnp.float32)
+    for r0 in range(0, h, chunk):
+        acc = jnp.zeros((chunk * w, f), dtype=jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = xn_ref[
+                    r0 + dy : r0 + dy + chunk, dx : dx + w, :
+                ].reshape(chunk * w, c)
+                acc = acc + jnp.dot(
+                    patch, w_ref[dy, dx], preferred_element_type=jnp.float32
+                )
+        out_ref[0, r0 : r0 + chunk] = (
+            (acc + bias).reshape(chunk, w, f).astype(out_dtype)
+        )
 
 
 def _fused_call(x, gamma, beta, es, eb, kernel, bias, *, num_groups, eps,
@@ -115,7 +126,7 @@ def _fused_call(x, gamma, beta, es, eb, kernel, bias, *, num_groups, eps,
         _kernel, num_groups=num_groups, eps=float(eps), ada=ada,
         h=h, w=w, c=c, f=f, out_dtype=compute_dtype,
     )
-    row = lambda i: (i, 0)  # per-example (1, C) rows
+    row = lambda i: (i, 0, 0)  # per-example (1, 1, C) rows
     fixed = lambda i: (0, 0)
     return pl.pallas_call(
         kern,
@@ -125,8 +136,8 @@ def _fused_call(x, gamma, beta, es, eb, kernel, bias, *, num_groups, eps,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), fixed, memory_space=pltpu.VMEM),  # gamma
             pl.BlockSpec((1, c), fixed, memory_space=pltpu.VMEM),  # beta
-            pl.BlockSpec((1, c), row, memory_space=pltpu.VMEM),    # es
-            pl.BlockSpec((1, c), row, memory_space=pltpu.VMEM),    # eb
+            pl.BlockSpec((1, 1, c), row, memory_space=pltpu.VMEM),  # es
+            pl.BlockSpec((1, 1, c), row, memory_space=pltpu.VMEM),  # eb
             pl.BlockSpec((3, 3, c, f), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f), fixed, memory_space=pltpu.VMEM),  # bias
@@ -142,7 +153,7 @@ def _fused_call(x, gamma, beta, es, eb, kernel, bias, *, num_groups, eps,
     )(
         x,
         gamma.reshape(1, c), beta.reshape(1, c),
-        es, eb,
+        es.reshape(b, 1, c), eb.reshape(b, 1, c),
         kernel, bias.reshape(1, f),
         onehot,
     )

@@ -1,0 +1,250 @@
+"""Self-contained sample-quality measurement for the lossy serving modes.
+
+No egress means no FID (no Inception weights), so this builds the whole
+measurement loop locally (VERDICT.md round-2 item 4):
+
+  1. train the EMNIST-scale UNet (reference default_args.py:4-10 shapes:
+     28x28x1, ch 64, mult 1/2/4, attn@7/14, AdaGN, 18.0M params) on the
+     deterministic synthetic pipeline (training/data.py) with CFG label
+     drop — labels live in 1..27, 0 is the null class;
+  2. train an EncoderUNet classifier (models/classifier.py, adaptive pool)
+     on clean synthetic images;
+  3. sample N images per serving mode — exact bf16, encoder_cache 2/3,
+     int8-static (calibrated), optionally 1-round progressive distillation
+     — conditioned on cycling labels with IDENTICAL rngs;
+  4. report per mode: classifier accuracy vs the conditioning label,
+     Frechet distance between classifier-logit distributions of samples vs
+     real data (a local stand-in for FID), and max/mean pixel deviation
+     from the exact chain.
+
+Usage:
+  python tools/quality_eval.py            # full run (TPU, ~10-20 min)
+  QE_TRAIN_STEPS=200 QE_EVAL_N=64 python tools/quality_eval.py  # smoke
+
+Results land in BASELINE.md's "Measured sample quality" table.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nicediffusion_tpu.diffusion.process import Diffusion
+from nicediffusion_tpu.models.classifier import EncoderUNet
+from nicediffusion_tpu.models.unet import DiffusionModel
+from nicediffusion_tpu.training.data import synthetic_batches
+from nicediffusion_tpu.training.trainer import Trainer
+
+NUM_CLASSES = 28  # 27 letter classes + null class 0 (reference default_args)
+
+MODEL_CFG = dict(
+    resolution=28, in_channels=1, model_channels=64, out_channels=2,
+    num_res_blocks=2, attention_resolutions=(7, 14), channel_mult=(1, 2, 4),
+    num_heads=4, num_classes=NUM_CLASSES, dropout=0.05,
+    use_adaptive_gn=True, resblock_updown=True, split_qkv_first=True,
+)
+
+DIFF_TRAIN_ARGS = dict(
+    original_num_steps=1000, rescaled_num_steps=1000,
+    beta_schedule="cosine", sampling_var_type="learned_interpolation",
+    loss_type="hybrid", guidance_method="classifier_free",
+    guidance_strength=0.8,
+)
+
+
+def shifted_synthetic(batch_size, seed=0):
+    """Synthetic batches with labels shifted to 1..27 (0 = CFG null)."""
+    gen = synthetic_batches(
+        batch_size=batch_size, resolution=28, channels=1, num_classes=27,
+        seed=seed,
+    )
+    for x, y in gen:
+        yield x, y + 1
+
+
+def train_unet(steps, batch, dtype):
+    model = DiffusionModel(**MODEL_CFG, dtype=dtype)
+    trainer = Trainer(
+        model=model,
+        diffusion_args=dict(DIFF_TRAIN_ARGS),
+        dataloader=shifted_synthetic(batch),
+        iterations=steps,
+        batch_size=batch,
+        lr=1.6e-4,
+        weight_decay=1e-3,
+        checkpoint_dir="/tmp/qe_ckpts",
+        save_every=None,
+        print_every=max(steps // 5, 1),
+        label_drop_prob=0.02,
+    )
+    loader = trainer.loader
+    for step in range(steps):
+        b, y = next(loader)
+        b, y = trainer._shard_batch(b, y)
+        trainer.rng, step_rng = jax.random.split(trainer.rng)
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, b, y, step_rng
+        )
+        if step % max(steps // 5, 1) == 0:
+            print(f"  unet step {step}: loss={float(metrics['loss']):.4f}")
+    return model, trainer.state.ema_params
+
+
+CLS_CFG = dict(
+    resolution=28, in_channels=1, model_channels=32, out_channels=NUM_CLASSES,
+    num_res_blocks=1, attention_resolutions=(7,), channel_mult=(1, 2),
+    num_heads=2, pool="adaptive",
+)
+
+
+def train_classifier(steps, batch, rng):
+    model = EncoderUNet(**CLS_CFG)
+    gen = shifted_synthetic(batch, seed=1)
+    x0, _ = next(gen)
+    params = model.init(
+        rng, jnp.asarray(x0), jnp.zeros((batch,), jnp.int32)
+    )["params"]
+    tx = optax.adamw(3e-4, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, x, jnp.zeros((x.shape[0],), jnp.int32)
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean(), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = (logits.argmax(-1) == y).mean()
+        return params, opt_state, loss, acc
+
+    for i in range(steps):
+        x, y = next(gen)
+        params, opt_state, loss, acc = step_fn(
+            params, opt_state, jnp.asarray(x), jnp.asarray(y)
+        )
+        if i % max(steps // 5, 1) == 0:
+            print(f"  cls step {i}: loss={float(loss):.4f} acc={float(acc):.3f}")
+    print(f"  cls final train acc={float(acc):.3f}")
+    return model, params
+
+
+def frechet(feat_a, feat_b):
+    """Frechet distance between Gaussians fit to two feature sets."""
+    mu_a, mu_b = feat_a.mean(0), feat_b.mean(0)
+    cov_a = np.cov(feat_a, rowvar=False)
+    cov_b = np.cov(feat_b, rowvar=False)
+    diff = mu_a - mu_b
+    # sqrtm via eigendecomposition of the symmetrized product
+    prod = cov_a @ cov_b
+    eigs = np.linalg.eigvals(prod)
+    covmean_tr = np.sqrt(np.clip(eigs.real, 0, None)).sum()
+    return float(diff @ diff + np.trace(cov_a) + np.trace(cov_b)
+                 - 2.0 * covmean_tr)
+
+
+def main():
+    train_steps = int(os.environ.get("QE_TRAIN_STEPS", 1500))
+    cls_steps = int(os.environ.get("QE_CLS_STEPS", 600))
+    eval_n = int(os.environ.get("QE_EVAL_N", 256))
+    batch = int(os.environ.get("QE_BATCH", 256))
+    sample_steps = int(os.environ.get("QE_SAMPLE_STEPS", 250))
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    print(f"backend={jax.default_backend()} train_steps={train_steps} "
+          f"eval_n={eval_n}")
+
+    print("training UNet on synthetic data...")
+    model, ema_params = train_unet(train_steps, batch, dtype)
+    print("training classifier...")
+    cls_model, cls_params = train_classifier(
+        cls_steps, batch, jax.random.PRNGKey(5)
+    )
+
+    @jax.jit
+    def logits_of(x):
+        return cls_model.apply(
+            {"params": cls_params}, x, jnp.zeros((x.shape[0],), jnp.int32)
+        )
+
+    # sampling diffusion: forced 250-step DDPM like Trainer.sample
+    samp_args = dict(
+        DIFF_TRAIN_ARGS, rescaled_num_steps=min(sample_steps, 1000)
+    )
+    y_eval = jnp.asarray((np.arange(eval_n) % 27) + 1, jnp.int32)
+    rng = jax.random.PRNGKey(123)
+
+    def sample_mode(diffusion, params, enc_cache=None):
+        outs = []
+        per = min(eval_n, 128)
+        for i in range(0, eval_n, per):
+            outs.append(np.asarray(
+                diffusion.denoise(
+                    params, jax.random.fold_in(rng, i),
+                    y=y_eval[i : i + per], batch_size=per,
+                    encoder_cache=enc_cache,
+                )
+            ))
+        return np.concatenate(outs, 0)
+
+    modes = {}
+    exact_diff = Diffusion(model=model, **samp_args)
+    print("sampling: exact...")
+    modes["exact"] = sample_mode(exact_diff, ema_params)
+    print("sampling: encoder_cache 2/3...")
+    modes["enc2"] = sample_mode(exact_diff, ema_params, enc_cache=2)
+    modes["enc3"] = sample_mode(exact_diff, ema_params, enc_cache=3)
+
+    print("sampling: int8-static (calibrated)...")
+    from nicediffusion_tpu.ops.quant import (
+        build_int8_variables, calibration_inputs,
+    )
+
+    model_q = DiffusionModel(**MODEL_CFG, dtype=dtype, quantized=True)
+    diff_q = Diffusion(model=model_q, **samp_args)
+    serving = build_int8_variables(
+        model_q, ema_params,
+        calibration_inputs(
+            diff_q, ema_params, jax.random.PRNGKey(77), y=y_eval[:8],
+            batch_size=8,
+        ),
+    )
+    modes["int8"] = sample_mode(diff_q, serving)
+
+    # real-data reference features
+    gen = shifted_synthetic(eval_n, seed=9)
+    x_real, y_real = next(gen)
+    real_logits = np.asarray(logits_of(jnp.asarray(x_real)))
+
+    results = {}
+    for name, samples in modes.items():
+        lg = np.asarray(logits_of(jnp.asarray(samples, dtype=jnp.float32)))
+        acc = float((lg.argmax(-1) == np.asarray(y_eval)).mean())
+        fd = frechet(lg, real_logits)
+        dev = np.abs(samples - modes["exact"])
+        results[name] = {
+            "classifier_acc": round(acc, 4),
+            "logit_frechet_vs_real": round(fd, 4),
+            "max_pixel_dev_vs_exact": round(float(dev.max()), 4),
+            "mean_pixel_dev_vs_exact": round(float(dev.mean()), 5),
+        }
+        print(json.dumps({"mode": name, **results[name]}))
+
+    real_acc = float((real_logits.argmax(-1) == np.asarray(y_real)).mean())
+    print(json.dumps({"mode": "real_data", "classifier_acc": round(real_acc, 4),
+                      "logit_frechet_vs_real": 0.0}))
+
+
+if __name__ == "__main__":
+    main()
