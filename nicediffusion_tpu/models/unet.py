@@ -138,6 +138,75 @@ class Int8Conv(nn.Module):
         )
 
 
+class Int8Dense(nn.Module):
+    """Dense with the same calibrate/freeze/serve modes as Int8Conv.
+
+    Used for the attention qkv/output projections when the model is built
+    ``quantized=True`` — the projections are plain (B*N, C) x (C, F)
+    matmuls whose input is a GN (qkv) or attention-kernel (proj) output,
+    so the static round/clip quantize fuses into the producer's epilogue
+    exactly like the conv case. Parameters ('kernel' (I, O) f32, 'bias')
+    match nn.Dense, so checkpoints load unchanged.
+    """
+
+    features: int
+    zero_init: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_dense, quantize_weight_channelwise
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out_dtype = self.dtype or x.dtype
+
+        if self.is_mutable_collection("calib"):
+            self.sow(
+                "calib", "absmax", jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+            o = jnp.dot(
+                x.astype(out_dtype), kernel.astype(out_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return (o + bias.astype(jnp.float32)).astype(out_dtype)
+
+        if self.is_mutable_collection("quant"):
+            absmax = self.get_variable("calib", "absmax")
+            if isinstance(absmax, tuple):
+                absmax = absmax[0]
+            act_scale = jnp.maximum(
+                jnp.asarray(absmax, jnp.float32), 1e-6
+            ) / 127.0
+            w_q, s_w = quantize_weight_channelwise(kernel, axis=-1)
+            self.variable("quant", "kernel_q", lambda: w_q)
+            self.variable("quant", "inv_act", lambda: 1.0 / act_scale)
+            self.variable("quant", "deq", lambda: s_w * act_scale)
+
+        if self.has_variable("quant", "kernel_q"):
+            x_q = jnp.clip(
+                jnp.round(
+                    x.astype(jnp.float32)
+                    * self.get_variable("quant", "inv_act")
+                ),
+                -127, 127,
+            ).astype(jnp.int8)
+            o = jax.lax.dot_general(
+                x_q, self.get_variable("quant", "kernel_q"),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            o = o.astype(jnp.float32) * self.get_variable("quant", "deq")
+            return (o + bias.astype(jnp.float32)).astype(out_dtype)
+
+        return int8_dense(x, kernel, bias=bias, out_dtype=out_dtype)
+
+
 class WinogradConv(nn.Module):
     """Stride-1 3x3 conv via Winograd F(2x2, 3x3) (ops/winograd.py).
 
@@ -333,6 +402,7 @@ class AttentionBlock(nn.Module):
     num_head_channels: int | None = None
     split_qkv_first: bool = True
     dtype: jnp.dtype | None = None
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -348,11 +418,20 @@ class AttentionBlock(nn.Module):
 
         h = GroupNormOp(c, mode="plain", name="norm")(x)
         h = h.reshape(b, hh * ww, c)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv_nin")(h)
+        if self.quantized:
+            qkv = Int8Dense(3 * c, dtype=self.dtype, name="qkv_nin")(h)
+        else:
+            qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv_nin")(h)
         h = qkv_attention(qkv, heads, self.split_qkv_first)
-        h = nn.Dense(
-            c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
-        )(h)
+        if self.quantized:
+            h = Int8Dense(
+                c, zero_init=True, dtype=self.dtype, name="proj_out"
+            )(h)
+        else:
+            h = nn.Dense(
+                c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                name="proj_out",
+            )(h)
         return x + h.reshape(b, hh, ww, c)
 
 
@@ -435,10 +514,17 @@ class DiffusionModel(nn.Module):
     split_qkv_first: bool = True
     use_remat: bool = False
     dtype: jnp.dtype | None = None
-    # int8 serving fast path: conv compute via int8 MXU MACs with dynamic
-    # quantization (ops/quant.py). Opt-in, lossy; the stem/head convs and
-    # attention stay in the float path. Parameters are unchanged.
+    # int8 serving fast path: conv compute via int8 MXU MACs (ops/quant.py;
+    # calibrate->freeze->serve for static scales, dynamic fallback
+    # otherwise). Opt-in, lossy; the stem/head convs and attention stay in
+    # the float path. Parameters are unchanged.
     quantized: bool = False
+    # Additionally quantize the attention qkv/proj projections (Int8Dense).
+    # Measured perf-NEUTRAL on the v5e chip (DDPM-250 CFG int8: 1.5493 vs
+    # 1.5465 samples/sec — within noise; the projections are a small slice
+    # of the FLOPs), so it defaults OFF to avoid adding quantization noise
+    # for no speed gain. Kept as a measured ablation (BASELINE.md).
+    quantized_attention: bool = False
     # Winograd F(2x2,3x3) path for stride-1 3x3 convs (ops/winograd.py):
     # 2.25x fewer MACs but measured SLOWER than XLA's direct conv in-model
     # (ablation — see ops/winograd.py). Opt-in for reproduction only.
@@ -482,6 +568,7 @@ class DiffusionModel(nn.Module):
                 num_head_channels=self.num_head_channels,
                 split_qkv_first=self.split_qkv_first,
                 dtype=dtype,
+                quantized=self.quantized and self.quantized_attention,
             )
 
         # ---- encoder (reference model.py:363-402) ----

@@ -193,3 +193,77 @@ def test_static_int8_serving_path(rng_np):
                        encoder_cache=2)
     )
     assert np.isfinite(cached).all()
+
+
+def test_quantized_attention_optin(rng_np):
+    """quantized_attention=True routes the attention qkv/proj projections
+    through Int8Dense: same parameter tree (checkpoints load unchanged),
+    extra (kernel_q, inv_act, deq) triples in the 'quant' collection after
+    freezing, and the serving forward still tracks the float forward.
+
+    The flag defaults OFF: on the v5e chip it measured perf-neutral
+    (1.5493 vs 1.5465 samples/sec DDPM-250 CFG int8 — the projections are
+    a small slice of the model FLOPs), so enabling it would add
+    quantization noise for no speed gain (BASELINE.md ablation).
+    """
+    from nicediffusion_tpu.diffusion.process import Diffusion
+    from nicediffusion_tpu.models.unet import DiffusionModel
+    from nicediffusion_tpu.ops.quant import (
+        build_int8_variables,
+        calibration_inputs,
+    )
+
+    cfg = dict(
+        resolution=16, in_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+        num_heads=2, num_classes=5, use_adaptive_gn=True,
+        resblock_updown=True,
+    )
+    m_f = DiffusionModel(**cfg)
+    m_q = DiffusionModel(**cfg, quantized=True)
+    m_qa = DiffusionModel(**cfg, quantized=True, quantized_attention=True)
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    t = jnp.array([3, 7], jnp.int32)
+    y = jnp.array([1, 2], jnp.int32)
+    params = m_f.init(jax.random.PRNGKey(0), x, t, y)["params"]
+    params_qa = m_qa.init(jax.random.PRNGKey(0), x, t, y)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_qa)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+
+    diff_args = dict(
+        original_num_steps=20, rescaled_num_steps=10,
+        sampling_var_type="learned_interpolation", loss_type="hybrid",
+        beta_schedule="cosine", guidance_method="classifier_free",
+        guidance_strength=0.8,
+    )
+    diff_qa = Diffusion(model=m_qa, **diff_args)
+    inputs = calibration_inputs(
+        diff_qa, params, jax.random.PRNGKey(7), y=y, batch_size=2,
+        num_points=3,
+    )
+    serving = build_int8_variables(m_qa, params, inputs)
+
+    # more frozen triples than the conv-only model (one per attn projection)
+    serving_conv_only = build_int8_variables(
+        DiffusionModel(**cfg, quantized=True), params,
+        calibration_inputs(
+            Diffusion(model=m_q, **diff_args), params,
+            jax.random.PRNGKey(7), y=y, batch_size=2, num_points=3,
+        ),
+    )
+    n_qa = len(jax.tree.leaves(serving["quant"]))
+    n_q = len(jax.tree.leaves(serving_conv_only["quant"]))
+    assert n_qa > n_q and (n_qa - n_q) % 3 == 0
+
+    ref = np.asarray(m_f.apply({"params": params}, x, t, y))
+    out = np.asarray(m_qa.apply(serving, x, t, y))
+    assert np.isfinite(out).all()
+    denom = ref.std() + 1e-6
+    assert np.abs(out - ref).max() / denom < 0.4
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.99

@@ -222,6 +222,27 @@ def main():
     )
     modes["int8"] = sample_mode(diff_q, serving)
 
+    if os.environ.get("QE_DISTILL", "1") == "1":
+        # one progressive-distillation halving round: 250-step DDIM teacher
+        # -> 125-step student initialised from the teacher. NOTE the
+        # distillation pipeline strips guidance (training/distill.py), so
+        # this row is unguided sampling — not directly comparable to the
+        # CFG rows above; it measures the distilled student's own fidelity.
+        from nicediffusion_tpu.training.distill import ProgressiveDistiller
+
+        print("distilling one round (250 -> 125, unguided)...")
+        distiller = ProgressiveDistiller(
+            model, ema_params,
+            dict(DIFF_TRAIN_ARGS, rescaled_num_steps=250),
+            shifted_synthetic(batch, seed=3),
+            iterations=int(os.environ.get("QE_DISTILL_STEPS", 400)),
+            lr=1e-4,
+        )
+        student_params, student_diff = distiller.run(
+            log_every=max(int(os.environ.get("QE_DISTILL_STEPS", 400)) // 4, 1)
+        )
+        modes["distill125_unguided"] = sample_mode(student_diff, student_params)
+
     # real-data reference features
     gen = shifted_synthetic(eval_n, seed=9)
     x_real, y_real = next(gen)
