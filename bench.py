@@ -8,8 +8,14 @@ Configuration (env overrides):
   BENCH_STEPS   sampling steps (default 250, the 250-step DDPM metric)
   BENCH_BATCH   per-chip batch size (default 32)
   BENCH_CFG     1 = classifier-free guidance (doubled-batch UNet), default 1
-  BENCH_DTYPE   bfloat16 (default) | float32 | int8 (quantized conv
-                serving path; value reported with an _int8 metric suffix)
+  BENCH_DTYPE   int8 (default: the calibrated static-scale int8 serving
+                path — the production serving configuration, reported with
+                an honest _int8 metric suffix and quality deltas in
+                BASELINE.md) | bfloat16 (exact) | float32
+  BENCH_EXACT_CONTROL  1 (default, int8 mode only): also time the exact
+                bf16 chain and carry it in the same JSON line as
+                exact_bf16_value / exact_bf16_vs_baseline, so the artifact
+                shows the serving headline AND the exact control together
   BENCH_SAMPLER ddpm (default) | ddim | dpm++   (BENCH_SAMPLER=ddim
                 BENCH_STEPS=50 gives the secondary DDIM-50 metric)
   BENCH_ENC_CACHE  k > 1 reuses encoder features for k-1 of every k steps
@@ -40,11 +46,31 @@ A100_EFFECTIVE_FLOPS = 45e12  # documented estimate; derivation in BASELINE.md
 A100_FLOPS_BOUNDS = (70e12, 25e12)
 
 
+def _time_denoise(diffusion, params, rng, y, batch, enc_cache, runs):
+    """Warm-up + timed denoise runs; returns seconds per run.
+
+    Completion is forced by fetching a scalar rather than
+    block_until_ready() — see the NOTE in main().
+    """
+    out = diffusion.denoise(
+        params, rng, y=y, batch_size=batch, encoder_cache=enc_cache
+    )
+    float(jnp.mean(out))
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = diffusion.denoise(
+            params, jax.random.fold_in(rng, i), y=y, batch_size=batch,
+            encoder_cache=enc_cache,
+        )
+    float(jnp.mean(out))
+    return (time.perf_counter() - t0) / runs
+
+
 def main():
     steps = int(os.environ.get("BENCH_STEPS", 250))
     batch = int(os.environ.get("BENCH_BATCH", 32))
     use_cfg = os.environ.get("BENCH_CFG", "1") == "1"
-    dtype_flag = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype_flag = os.environ.get("BENCH_DTYPE", "int8")
     quantized = dtype_flag == "int8"
     dtype = jnp.float32 if dtype_flag == "float32" else jnp.bfloat16
 
@@ -105,37 +131,36 @@ def main():
         )
         params = build_int8_variables(model, params, inputs)
 
-    # warm-up / compile. NOTE: completion is forced by fetching a scalar
-    # rather than block_until_ready(). Empirically, in THIS environment
-    # (TPU behind the axon relay) short-chain timings via
-    # block_until_ready() scattered badly while the scalar device->host
-    # fetch gave numbers internally consistent with the per-step forward
-    # time (BASELINE.md "Round-2 measurement correction") — an observed
-    # workaround for this setup, not a claim about block_until_ready()
-    # semantics in general. The device queue serializes the runs, so one
-    # final fetch outside the loop covers all of them.
-    out = diffusion.denoise(
-        params, rng, y=y, batch_size=batch, encoder_cache=enc_cache
-    )
-    float(jnp.mean(out))
-
-    # timed runs
+    # NOTE on timing: completion is forced by fetching a scalar rather
+    # than block_until_ready(). Empirically, in THIS environment (TPU
+    # behind the axon relay) short-chain timings via block_until_ready()
+    # scattered badly while the scalar device->host fetch gave numbers
+    # internally consistent with the per-step forward time (BASELINE.md
+    # "Round-2 measurement correction") — an observed workaround for this
+    # setup, not a claim about block_until_ready() semantics in general.
+    # The device queue serializes the runs, so one final fetch outside the
+    # loop covers all of them.
     runs = int(os.environ.get("BENCH_RUNS", 3))
     trace_dir = os.environ.get("BENCH_TRACE")
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
-    t0 = time.perf_counter()
-    for i in range(runs):
-        out = diffusion.denoise(
-            params, jax.random.fold_in(rng, i), y=y, batch_size=batch,
-            encoder_cache=enc_cache,
-        )
-    float(jnp.mean(out))
-    elapsed = (time.perf_counter() - t0) / runs
+    elapsed = _time_denoise(diffusion, params, rng, y, batch, enc_cache, runs)
     if trace_dir:
         jax.profiler.stop_trace()
 
     samples_per_sec = batch / elapsed
+
+    # exact-bf16 control alongside the int8 serving headline (default on):
+    # same chain, float params, so the one artifact carries both numbers.
+    exact_sps = None
+    if quantized and os.environ.get("BENCH_EXACT_CONTROL", "1") == "1":
+        model_f = DiffusionModel(**mcfg, dtype=dtype)
+        diffusion_f = Diffusion(model=model_f, **dcfg)
+        exact_elapsed = _time_denoise(
+            diffusion_f, params["params"], rng, y, batch, enc_cache,
+            max(runs - 1, 1),
+        )
+        exact_sps = batch / exact_elapsed
 
     # per-sample FLOPs for the baseline estimate: cost of one UNet forward
     # (always the float params — the baseline denominator is the exact
@@ -172,26 +197,32 @@ def main():
         for f in A100_FLOPS_BOUNDS
     ] if flops_per_sample else [1.0, 1.0]
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"imagenet64_{sampler.replace('+', 'p')}{steps}"
-                    + ("_cfg" if use_cfg else "")
-                    + ("_int8" if quantized else "")
-                    + (f"_enc{enc_cache}" if enc_cache else "")
-                    + "_samples_per_sec_per_chip"
-                ),
-                "value": round(samples_per_sec, 4),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(vs_baseline, 4),
-                # vs_baseline divides by an ESTIMATED 45 TF/s A100 eager
-                # baseline (the reference publishes no numbers); these
-                # bounds re-evaluate it at 70 / 25 TF/s (BASELINE.md)
-                "vs_baseline_bounds": bounds,
-            }
-        )
-    )
+    record = {
+        "metric": (
+            f"imagenet64_{sampler.replace('+', 'p')}{steps}"
+            + ("_cfg" if use_cfg else "")
+            + ("_int8" if quantized else "")
+            + (f"_enc{enc_cache}" if enc_cache else "")
+            + "_samples_per_sec_per_chip"
+        ),
+        "value": round(samples_per_sec, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        # vs_baseline divides by an ESTIMATED 45 TF/s A100 eager
+        # baseline (the reference publishes no numbers); these
+        # bounds re-evaluate it at 70 / 25 TF/s (BASELINE.md)
+        "vs_baseline_bounds": bounds,
+    }
+    if exact_sps is not None:
+        # the exact (bf16, lossless) control measured in the same process;
+        # the headline value above is the calibrated int8 serving mode
+        # (lossy — quality deltas in BASELINE.md "Measured sample quality")
+        record["exact_bf16_value"] = round(exact_sps, 4)
+        if ref_samples_per_sec:
+            record["exact_bf16_vs_baseline"] = round(
+                exact_sps / ref_samples_per_sec, 4
+            )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

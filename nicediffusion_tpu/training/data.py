@@ -51,21 +51,42 @@ def synthetic_batches(
 ) -> Iterator[tuple[np.ndarray, np.ndarray | None]]:
     """Deterministic synthetic image/label batches in [-1, 1], NHWC.
 
-    Produces a small fixed pool of class-dependent patterns so a few training
-    steps measurably reduce the loss (used by the trainer integration tests,
-    SURVEY.md §4.6).
+    Produces a small fixed pool of patterns whose content is genuinely
+    class-dependent — a per-class mean shift plus a per-class 2-D
+    sinusoid — shared across seeds, so (a) a few training steps measurably
+    reduce the diffusion loss (trainer integration tests, SURVEY.md §4.6)
+    and (b) a classifier trained on one seed's pool generalizes to another
+    seed's pool (the sample-quality harness, tools/quality_eval.py, trains
+    UNet / classifier / eval-reference on different seeds).
+
+    Note: an earlier version drew the label array independently from the
+    class index used to build each image, which made labels pure noise
+    w.r.t. content — conditional training could only memorize and any
+    cross-seed classifier eval sat at chance.
     """
     rng = np.random.default_rng(seed)
     n_cls = num_classes or 1
+    cls_idx = rng.integers(0, n_cls, size=num_distinct)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, resolution), np.linspace(0, 1, resolution),
+        indexing="ij",
+    )
+    # seed-independent class signatures: mean level + oriented sinusoid
+    means = np.linspace(-0.5, 0.5, n_cls)
+    freq = 1.0 + (np.arange(n_cls) % 5)
+    angle = np.arange(n_cls) * (np.pi / max(n_cls, 1))
+    waves = 0.35 * np.sin(
+        2.0 * np.pi * freq[:, None, None]
+        * (np.cos(angle)[:, None, None] * xx + np.sin(angle)[:, None, None] * yy)
+    )  # (n_cls, res, res)
     pool = np.clip(
         rng.normal(size=(num_distinct, resolution, resolution, channels)) * 0.3
-        + np.linspace(-0.5, 0.5, n_cls)[
-            rng.integers(0, n_cls, size=num_distinct)
-        ].reshape(-1, 1, 1, 1),
+        + means[cls_idx].reshape(-1, 1, 1, 1)
+        + waves[cls_idx][..., None],
         -1,
         1,
     ).astype(np.float32)
-    labels = rng.integers(0, n_cls, size=num_distinct)
+    labels = cls_idx
     while True:
         idx = rng.integers(0, num_distinct, size=batch_size)
         y = labels[idx] if num_classes is not None else None

@@ -41,18 +41,67 @@ def _params(model):
 
 
 def test_sharding_specs():
+    """Megatron-paired specs (parallel/sharding.py module docstring)."""
     mesh = make_mesh(num_data=4, num_model=2)
     model = DiffusionModel(**MODEL)
     params = _params(model)
     shardings = unet_param_shardings(params, mesh)
-    # stem conv kernel: output channels sharded
+    block = shardings["downsampling_1"]["layers_0"]
+    # column-parallel in_conv: kernel output dim + bias sharded
+    assert block["in_conv"]["kernel"].spec == P(None, None, None, "model")
+    assert block["in_conv"]["bias"].spec == P("model")
+    # out_norm scale/bias sharded to match the channel-sharded intermediate
+    assert block["out_norm"]["scale"].spec == P("model")
+    # row-parallel out_conv: kernel INPUT dim sharded, bias replicated
+    assert block["out_conv"]["kernel"].spec == P(None, None, "model", None)
+    assert block["out_conv"]["bias"].spec == P()
+    # in_norm (block input is replicated) + step_embedding replicated
+    assert block["in_norm"]["scale"].spec == P()
+    assert block["step_embedding"]["kernel"].spec == P()
+    # stem conv is unpaired -> replicated (sharding it would force an
+    # activation gather at the first block's in_conv)
     stem = shardings["downsampling_0"]["layers_0"]["kernel"]
-    assert stem.spec == P(None, None, None, "model")
-    # GroupNorm scale replicated
-    gn = shardings["downsampling_1"]["layers_0"]["in_norm"]["scale"]
-    assert gn.spec == P()
+    assert stem.spec == P()
+    # attention: column-parallel qkv, row-parallel proj_out
+    attn = shardings["downsampling_3"]["layers_1"]
+    assert attn["qkv_nin"]["kernel"].spec == P(None, "model")
+    assert attn["proj_out"]["kernel"].spec == P("model", None)
+    assert attn["proj_out"]["bias"].spec == P()
     # class embedding replicated
     assert shardings["class_embedding"]["embedding"].spec == P()
+
+
+def test_paired_convs_compile_to_allreduce_only():
+    """The Megatron pair (GN->SiLU->in_conv->AdaGN->out_conv) must keep the
+    intermediate activation channel-sharded: the compiled HLO contains the
+    row-parallel all-reduce but NO all-gather (which would mean GSPMD
+    replicated the intermediate instead)."""
+    import flax.linen as fnn
+
+    from nicediffusion_tpu.models.unet import ResidualBlock
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    block = ResidualBlock(out_channels=64, use_adaptive_gn=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 64))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    params = block.init(jax.random.PRNGKey(2), x, emb)["params"]
+    params_tp = shard_params(params, mesh)
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data")))
+    emb_s = jax.device_put(emb, NamedSharding(mesh, P("data")))
+
+    fn = jax.jit(lambda p, x, e: block.apply({"params": p}, x, e))
+    hlo = fn.lower(params_tp, x_s, emb_s).compile().as_text()
+    assert "all-reduce" in hlo, "row-parallel out_conv must psum partials"
+    assert "all-gather" not in hlo, (
+        "paired convs must not gather the channel-sharded intermediate"
+    )
+
+    # and the numerics are transparent
+    ref = block.apply({"params": params}, x, emb)
+    out = fn(params_tp, x_s, emb_s)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
 
 
 def test_tp_forward_matches_unsharded():

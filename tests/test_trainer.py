@@ -147,3 +147,38 @@ def test_in_training_sampling(tmp_path):
     out = trainer.sample(2)
     assert out.shape == (2, 8, 8, 1)
     assert out.dtype == np.uint8
+
+
+def test_synthetic_labels_match_content_across_seeds():
+    """The synthetic pipeline's labels must reflect image content with
+    class signatures SHARED across seeds — the sample-quality harness
+    (tools/quality_eval.py) trains its UNet, classifier, and eval
+    reference on different seeds. Regression: an earlier version drew
+    labels independently of the per-image class index, making conditional
+    labels pure noise."""
+    from nicediffusion_tpu.training.data import synthetic_batches
+
+    def pool(seed):
+        return next(synthetic_batches(
+            batch_size=512, resolution=16, channels=1, num_classes=8,
+            seed=seed, num_distinct=256,
+        ))
+
+    xa, ya = pool(0)
+    xb, yb = pool(9)
+    cors = []
+    for c in range(8):
+        if (ya == c).any() and (yb == c).any():
+            ma = xa[ya == c].mean(0).ravel()
+            mb = xb[yb == c].mean(0).ravel()
+            cors.append(np.corrcoef(ma, mb)[0, 1])
+    assert len(cors) >= 6
+    # same-class mean images agree across seeds...
+    assert min(cors) > 0.3, cors
+    # ...and labels are informative within a seed: nearest-class-mean on
+    # held-out images from the same generator beats chance comfortably
+    protos = np.stack([xa[ya == c].mean(0).ravel() for c in range(8)])
+    xh, yh = pool(3)
+    d = ((xh.reshape(len(xh), -1)[:, None, :] - protos[None]) ** 2).sum(-1)
+    acc = (d.argmin(1) == yh).mean()
+    assert acc > 0.5, acc
