@@ -26,6 +26,8 @@ __all__ = [
     "int8_dense",
     "int8_conv_static",
     "merge_calibrations",
+    "collect_calibration",
+    "freeze_int8",
     "build_int8_variables",
     "calibration_inputs",
 ]
@@ -131,32 +133,53 @@ def merge_calibrations(calibs):
     )
 
 
-def build_int8_variables(model, params, sample_inputs):
-    """Calibrate and freeze the int8 serving collection.
-
-    Two passes over ``sample_inputs`` (an iterable of ``(x, mapped_t, y)``
-    model inputs drawn from the sampling distribution — see
-    `calibration_inputs`):
-
-      1. float forwards with ``mutable=['calib']``: every Int8Conv records
-         the absmax of its input activation (models/unet.py Int8Conv);
-      2. one forward with the merged stats and ``mutable=['quant']``: every
-         Int8Conv quantizes its weights per output channel and freezes
-         {kernel_q int8, inv_act f32 scalar, deq f32 [Cout]}.
-
-    Returns the full serving variables dict ``{"params": ..., "quant": ...}``
-    to pass wherever a params pytree is accepted (Diffusion.denoise and
-    friends unwrap it — diffusion/process.py _variables).
-    """
+def collect_calibration(model, params, sample_inputs):
+    """Float forwards with ``mutable=['calib']`` over ``sample_inputs``:
+    every Int8Conv/Int8Dense records the absmax of its input activation
+    (models/unet.py). Returns the merged absmax pytree — one f32 scalar per
+    quantized layer, a few KB even for the 553.8M preset — which is the
+    thing worth PERSISTING between serving runs (`save_params_npz(calib,
+    path)` / `load_params(path)`): reloading it skips the full-chain
+    calibration draw on the next invocation."""
     sample_inputs = list(sample_inputs)
     assert sample_inputs, "need at least one calibration input"
 
-    # jitted passes: eager flax apply on a 295M UNet dispatches thousands
+    # jitted pass: eager flax apply on a 295M UNet dispatches thousands
     # of individual ops (pathological through the TPU relay)
     @jax.jit
     def calib_pass(p, x, t, y):
         _, st = model.apply({"params": p}, x, t, y, mutable=["calib"])
         return st["calib"]
+
+    return merge_calibrations(
+        [calib_pass(params, x, t, y) for x, t, y in sample_inputs]
+    )
+
+
+def freeze_int8(model, params, calib, example_input=None):
+    """One forward with the merged stats and ``mutable=['quant']``: every
+    Int8Conv/Int8Dense quantizes its weights per output channel and freezes
+    {kernel_q int8, inv_act f32 scalar, deq f32 [Cout]}.
+
+    ``example_input`` is an (x, mapped_t, y) triple fixing the trace
+    shapes; values are irrelevant to the frozen constants, so when omitted
+    a batch-1 zero input is synthesized from the model config.
+
+    Returns the full serving variables dict ``{"params": ..., "quant": ...}``
+    to pass wherever a params pytree is accepted (Diffusion.denoise and
+    friends unwrap it — diffusion/process.py _variables).
+    """
+    if example_input is None:
+        x = jnp.zeros(
+            (1, model.resolution, model.resolution, model.in_channels),
+            jnp.float32,
+        )
+        t = jnp.zeros((1,), jnp.int32)
+        y = (
+            jnp.zeros((1,), jnp.int32)
+            if getattr(model, "num_classes", None) else None
+        )
+        example_input = (x, t, y)
 
     @jax.jit
     def freeze_pass(p, calib, x, t, y):
@@ -165,11 +188,25 @@ def build_int8_variables(model, params, sample_inputs):
         )
         return qvars["quant"]
 
-    calibs = [calib_pass(params, x, t, y) for x, t, y in sample_inputs]
-    calib = merge_calibrations(calibs)
-    x, t, y = sample_inputs[0]
-    quant = freeze_pass(params, calib, x, t, y)
-    return {"params": params, "quant": quant}
+    x, t, y = example_input
+    return {"params": params, "quant": freeze_pass(params, calib, x, t, y)}
+
+
+def build_int8_variables(model, params, sample_inputs=None, calib=None):
+    """Calibrate (or reuse a saved calibration) and freeze int8 serving.
+
+    Either pass ``sample_inputs`` (an iterable of ``(x, mapped_t, y)``
+    model inputs drawn from the sampling distribution — see
+    `calibration_inputs`) to calibrate from scratch, or pass ``calib`` (a
+    merged absmax pytree from `collect_calibration`, possibly reloaded
+    from disk) to skip straight to the freeze.
+    """
+    example = None
+    if calib is None:
+        sample_inputs = list(sample_inputs)
+        calib = collect_calibration(model, params, sample_inputs)
+        example = sample_inputs[0]
+    return freeze_int8(model, params, calib, example)
 
 
 def calibration_inputs(diffusion, params, rng, y=None, batch_size=8,

@@ -72,6 +72,12 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
                             "CPU/--cpu (parity with the fp32 reference); "
                             "'int8' enables the quantized conv serving path "
                             "(fastest, slightly lossy)")
+        g.add_argument("--int8_calibration", type=str, default=None,
+                       metavar=o,
+                       help="with --dtype int8: .npz path for the "
+                            "activation-scale calibration. Loaded if it "
+                            "exists (skips the calibration chain); written "
+                            "after calibrating otherwise")
     else:
         g = parser.add_argument_group(
             "training arguments", "arguments for training process"

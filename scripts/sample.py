@@ -143,28 +143,44 @@ def main():
         # the dynamic-quant path, record per-conv activation ranges over
         # the chain, freeze pre-quantized weights + static scales. The
         # serving variables dict rides wherever the params pytree went.
+        # --int8_calibration persists the tiny absmax tree so subsequent
+        # invocations skip the calibration chain entirely.
         from nicediffusion_tpu.ops.quant import (
-            build_int8_variables,
             calibration_inputs,
+            collect_calibration,
+            freeze_int8,
         )
 
-        rng, calib_rng, cy_rng = jax.random.split(rng, 3)
-        calib_batch = min(BATCH_SIZE, 8)
-        calib_y = (
-            jax.random.randint(
-                cy_rng, (calib_batch,), 0, model_args["num_classes"]
+        calib_path = other_args.get("int8_calibration")
+        if calib_path and os.path.exists(calib_path):
+            from nicediffusion_tpu.utils.checkpoint import load_params
+
+            if WORDY:
+                print(f"Loading int8 calibration from {calib_path}")
+            params = freeze_int8(model, params, load_params(calib_path))
+        else:
+            rng, calib_rng, cy_rng = jax.random.split(rng, 3)
+            calib_batch = min(BATCH_SIZE, 8)
+            calib_y = (
+                jax.random.randint(
+                    cy_rng, (calib_batch,), 0, model_args["num_classes"]
+                )
+                if CONDITIONAL else None
             )
-            if CONDITIONAL else None
-        )
-        if WORDY:
-            print("Calibrating int8 activation scales on one chain...")
-        params = build_int8_variables(
-            model, params,
-            calibration_inputs(
+            if WORDY:
+                print("Calibrating int8 activation scales on one chain...")
+            inputs = calibration_inputs(
                 diffusion, params, calib_rng, y=calib_y,
                 batch_size=calib_batch,
-            ),
-        )
+            )
+            calib = collect_calibration(model, params, inputs)
+            if calib_path:
+                from nicediffusion_tpu.utils.checkpoint import save_params_npz
+
+                save_params_npz(calib, calib_path)
+                if WORDY:
+                    print(f"Saved int8 calibration to {calib_path}")
+            params = freeze_int8(model, params, calib, inputs[0])
         if mesh is not None:
             from nicediffusion_tpu.parallel.mesh import replicated
 

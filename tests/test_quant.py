@@ -267,3 +267,71 @@ def test_quantized_attention_optin(rng_np):
     denom = ref.std() + 1e-6
     assert np.abs(out - ref).max() / denom < 0.4
     assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.99
+
+
+def test_calibration_persistence_roundtrip(rng_np, tmp_path):
+    """collect_calibration -> save npz -> load -> freeze_int8 must serve
+    identically to the direct calibrate+freeze pipeline (the
+    --int8_calibration CLI flow, scripts/sample.py)."""
+    from nicediffusion_tpu.diffusion.process import Diffusion
+    from nicediffusion_tpu.models.unet import DiffusionModel
+    from nicediffusion_tpu.ops.quant import (
+        build_int8_variables,
+        calibration_inputs,
+        collect_calibration,
+        freeze_int8,
+    )
+    from nicediffusion_tpu.utils.checkpoint import load_params, save_params_npz
+
+    cfg = dict(
+        resolution=16, in_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+        num_heads=2, num_classes=5, use_adaptive_gn=True,
+        resblock_updown=True,
+    )
+    m_q = DiffusionModel(**cfg, quantized=True)
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    t = jnp.array([3, 7], jnp.int32)
+    y = jnp.array([1, 2], jnp.int32)
+    params = m_q.init(jax.random.PRNGKey(0), x, t, y)["params"]
+
+    diff_args = dict(
+        original_num_steps=20, rescaled_num_steps=5,
+        sampling_var_type="learned_interpolation", loss_type="hybrid",
+        beta_schedule="cosine",
+    )
+    diff_q = Diffusion(model=m_q, **diff_args)
+    inputs = calibration_inputs(
+        diff_q, params, jax.random.PRNGKey(7), y=y, batch_size=2,
+        num_points=2,
+    )
+
+    direct = build_int8_variables(m_q, params, inputs)
+
+    calib = collect_calibration(m_q, params, inputs)
+    path = str(tmp_path / "calib.npz")
+    save_params_npz(calib, path)
+    reloaded = freeze_int8(m_q, params, load_params(path))  # no example input
+
+    for a, b in zip(
+        jax.tree.leaves(direct["quant"]), jax.tree.leaves(reloaded["quant"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_a = m_q.apply(direct, x, t, y)
+    out_b = m_q.apply(reloaded, x, t, y)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_int8_calibration_cli_flag():
+    """--int8_calibration parses and routes to other_args."""
+    from nicediffusion_tpu.utils.cli import get_dicts_from_args, make_argparser
+
+    args = make_argparser("diff_sample").parse_args([
+        "--model_path", "EMNIST_model.pt", "--batch_size", "2",
+        "--num_samples", "1", "--dtype", "int8",
+        "--int8_calibration", "/tmp/c.npz",
+    ])
+    other, _, _ = get_dicts_from_args(args)
+    assert other["int8_calibration"] == "/tmp/c.npz"
+    assert other["dtype"] == "int8"
