@@ -255,6 +255,22 @@ def main():
     x_real, y_real = next(gen)
     real_logits = np.asarray(logits_of(jnp.asarray(x_real)))
 
+    # pixel-space class prototypes from real data (diagnostic secondary
+    # metric: nearest-prototype accuracy is classifier-free evidence of
+    # whether conditioning carries through sampling)
+    protos = np.stack([
+        x_real[np.asarray(y_real) == c].mean(0).ravel()
+        if (np.asarray(y_real) == c).any() else np.zeros(x_real[0].size)
+        for c in range(1, 28)
+    ])
+
+    def proto_acc(samples):
+        d = (
+            (samples.reshape(len(samples), -1)[:, None, :] - protos[None])
+            ** 2
+        ).sum(-1)
+        return float((d.argmin(1) + 1 == np.asarray(y_eval)).mean())
+
     results = {}
     for name, samples in modes.items():
         lg = np.asarray(logits_of(jnp.asarray(samples, dtype=jnp.float32)))
@@ -263,6 +279,7 @@ def main():
         dev = np.abs(samples - modes["exact"])
         results[name] = {
             "classifier_acc": round(acc, 4),
+            "proto_acc": round(proto_acc(samples), 4),
             "logit_frechet_vs_real": round(fd, 4),
             "max_pixel_dev_vs_exact": round(float(dev.max()), 4),
             "mean_pixel_dev_vs_exact": round(float(dev.mean()), 5),
@@ -270,7 +287,12 @@ def main():
         print(json.dumps({"mode": name, **results[name]}))
 
     real_acc = float((real_logits.argmax(-1) == np.asarray(y_real)).mean())
+    d_real = (
+        (x_real.reshape(len(x_real), -1)[:, None, :] - protos[None]) ** 2
+    ).sum(-1)
+    real_proto = float((d_real.argmin(1) + 1 == np.asarray(y_real)).mean())
     print(json.dumps({"mode": "real_data", "classifier_acc": round(real_acc, 4),
+                      "proto_acc": round(real_proto, 4),
                       "logit_frechet_vs_real": 0.0}))
 
 
