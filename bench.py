@@ -46,21 +46,22 @@ A100_EFFECTIVE_FLOPS = 45e12  # documented estimate; derivation in BASELINE.md
 A100_FLOPS_BOUNDS = (70e12, 25e12)
 
 
-def _time_denoise(diffusion, params, rng, y, batch, enc_cache, runs):
+def _time_denoise(diffusion, params, rng, y, batch, enc_cache, runs, gi=None):
     """Warm-up + timed denoise runs; returns seconds per run.
 
     Completion is forced by fetching a scalar rather than
     block_until_ready() — see the NOTE in main().
     """
     out = diffusion.denoise(
-        params, rng, y=y, batch_size=batch, encoder_cache=enc_cache
+        params, rng, y=y, batch_size=batch, encoder_cache=enc_cache,
+        guidance_interval=gi,
     )
     float(jnp.mean(out))
     t0 = time.perf_counter()
     for i in range(runs):
         out = diffusion.denoise(
             params, jax.random.fold_in(rng, i), y=y, batch_size=batch,
-            encoder_cache=enc_cache,
+            encoder_cache=enc_cache, guidance_interval=gi,
         )
     float(jnp.mean(out))
     return (time.perf_counter() - t0) / runs
@@ -113,6 +114,9 @@ def main():
     y = jnp.arange(batch, dtype=jnp.int32) % 1000
 
     enc_cache = int(os.environ.get("BENCH_ENC_CACHE", 0)) or None
+    # BENCH_GUIDANCE_INTERVAL="lo,hi": limited-interval CFG (opt-in lossy)
+    gi_env = os.environ.get("BENCH_GUIDANCE_INTERVAL")
+    gi = tuple(float(v) for v in gi_env.split(",")) if gi_env else None
 
     if quantized:
         # int8 serving setup (one-time, outside the timed region): draw a
@@ -144,7 +148,9 @@ def main():
     trace_dir = os.environ.get("BENCH_TRACE")
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
-    elapsed = _time_denoise(diffusion, params, rng, y, batch, enc_cache, runs)
+    elapsed = _time_denoise(
+        diffusion, params, rng, y, batch, enc_cache, runs, gi
+    )
     if trace_dir:
         jax.profiler.stop_trace()
 
@@ -203,6 +209,7 @@ def main():
             + ("_cfg" if use_cfg else "")
             + ("_int8" if quantized else "")
             + (f"_enc{enc_cache}" if enc_cache else "")
+            + (f"_gi{gi[0]:g}-{gi[1]:g}" if gi else "")
             + "_samples_per_sec_per_chip"
         ),
         "value": round(samples_per_sec, 4),

@@ -113,6 +113,18 @@ def _make_progress_tick(steps_to_do: int):
     return _tick
 
 
+def _runs(flags: list) -> list[tuple[int, int, bool]]:
+    """Compress a static per-position flag list into contiguous
+    (start, length, flag) runs — the scan segmentation for
+    limited-interval guidance."""
+    runs, start = [], 0
+    for i in range(1, len(flags) + 1):
+        if i == len(flags) or flags[i] != flags[start]:
+            runs.append((start, i - start, flags[start]))
+            start = i
+    return runs
+
+
 def _bcast(table: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
     """Gather per-timestep coefficients and broadcast over trailing dims.
 
@@ -380,10 +392,16 @@ class Diffusion:
             return jnp.concatenate([eps, raw], axis=-1)
         return (1 + self.strength) * cond - self.strength * uncond
 
-    def _guided_eps(self, params, x, t, y, *, want_log_var: bool):
+    def _guided_eps(self, params, x, t, y, *, want_log_var: bool,
+                    guided: bool = True):
         """Epsilon (+ log_var) with classifier-free guidance fused into a
-        single doubled-batch model call when active."""
-        if self.guidance != "classifier_free":
+        single doubled-batch model call when active.
+
+        ``guided=False`` forces the plain conditional call (one model
+        forward instead of two) even when classifier-free guidance is
+        configured — the limited-interval guidance mechanism (Kynkäänniemi
+        et al. 2024, arXiv:2404.07724)."""
+        if self.guidance != "classifier_free" or not guided:
             out = self._apply_model(params, x, t, y)
         else:
             x2 = jnp.concatenate([x, x], axis=0)
@@ -432,11 +450,12 @@ class Diffusion:
         return out, cache
 
     def _guided_eps_cached(
-        self, params, x, t, y, cache, refresh: bool, *, want_log_var: bool
+        self, params, x, t, y, cache, refresh: bool, *, want_log_var: bool,
+        guided: bool = True
     ):
         """_guided_eps via the encoder-cached path; returns
         ((eps, log_var), cache)."""
-        if self.guidance != "classifier_free":
+        if self.guidance != "classifier_free" or not guided:
             out, cache = self._apply_model_split(params, x, t, y, cache, refresh)
         else:
             x2 = jnp.concatenate([x, x], axis=0)
@@ -592,58 +611,79 @@ class Diffusion:
     # ------------------------------------------------------------------
 
     def _make_sampler(
-        self, steps_to_do: int, progress: bool, encoder_cache: int = 0
+        self, steps_to_do: int, progress: bool, encoder_cache: int = 0,
+        gi: tuple[int, int] | None = None,
     ):
         if encoder_cache:
             return self._make_cached_sampler(
-                steps_to_do, progress, int(encoder_cache)
+                steps_to_do, progress, int(encoder_cache), gi
             )
-        step_fn = {
-            "ddpm": self.ddpm_step,
-            "ddim": self.ddim_step,
-            "dpm++": None,  # multistep: dedicated scan body below
-        }[self.sampler]
+        want_lv = self.sampler == "ddpm"
+        _tick = _make_progress_tick(steps_to_do) if progress else None
 
-        if progress:
-            _tick = _make_progress_tick(steps_to_do)
-
-        if self.sampler == "dpm++":
-
-            def sampler(params, rng, x, y):
-                def body(carry, t_scalar):
-                    xc, x0_prev = carry
-                    t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
-                    xc, x0 = self.dpmpp_step(
-                        params, xc, t, x0_prev, y,
-                        first=t_scalar == steps_to_do - 1,
-                    )
-                    if progress:
-                        jax.debug.callback(_tick, t_scalar, ordered=False)
-                    return (xc, x0), None
-
-                ts = jnp.arange(steps_to_do - 1, -1, -1)
-                (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), ts)
-                return x
-
-            return jax.jit(sampler)
+        # Static guided/unguided runs over the descending-t scan order.
+        # With guidance restricted to t in [gi[0], gi[1]) the chain splits
+        # into at most three contiguous segments, each its own scan whose
+        # body compiles either the doubled-batch CFG call or the single
+        # conditional call — the skipped forward is never traced, so the
+        # saving is real compile-time structure, not a runtime branch.
+        flags = [
+            gi is None or (gi[0] <= t < gi[1])
+            for t in range(steps_to_do - 1, -1, -1)
+        ]
 
         def sampler(params, rng, x, y):
-            def body(carry, t_scalar):
-                xc, key = carry
-                key, step_key = jax.random.split(key)
-                t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
-                xc, _ = step_fn(params, xc, t, step_key, y)
-                if progress:
-                    jax.debug.callback(_tick, t_scalar, ordered=False)
-                return (xc, key), None
+            def make_body(guided):
+                def body(carry, t_scalar):
+                    xc, key, x0_prev = carry
+                    key, step_key = jax.random.split(key)
+                    t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
+                    eps_lv = self._guided_eps(
+                        params, xc, t, y, want_log_var=want_lv, guided=guided
+                    )
+                    xc, x0_prev = self._one_step(
+                        params, xc, x0_prev, t_scalar, step_key, y, eps_lv,
+                        steps_to_do, _tick,
+                    )
+                    return (xc, key, x0_prev), None
+                return body
 
             ts = jnp.arange(steps_to_do - 1, -1, -1)
-            (x, _), _ = jax.lax.scan(body, (x, rng), ts)
-            return x
+            carry = (x, rng, jnp.zeros_like(x))
+            for start, length, guided in _runs(flags):
+                carry, _ = jax.lax.scan(
+                    make_body(guided), carry, ts[start:start + length]
+                )
+            return carry[0]
 
         return jax.jit(sampler)
 
-    def _make_cached_sampler(self, steps_to_do: int, progress: bool, k: int):
+    def _one_step(self, params, xc, x0_prev, t_scalar, step_key, y, eps_lv,
+                  steps_to_do, tick):
+        """Apply one reverse update of the configured sampler from a
+        precomputed (eps, log_var); shared by every scan body."""
+        t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
+        if self.sampler == "dpm++":
+            xc, x0_prev = self.dpmpp_step(
+                params, xc, t, x0_prev, y,
+                first=t_scalar == steps_to_do - 1, eps_log_var=eps_lv,
+            )
+        elif self.sampler == "ddim":
+            xc, _ = self.ddim_step(
+                params, xc, t, step_key, y, eps_log_var=eps_lv
+            )
+        else:
+            xc, _ = self.ddpm_step(
+                params, xc, t, step_key, y, eps_log_var=eps_lv
+            )
+        if tick is not None:
+            jax.debug.callback(tick, t_scalar, ordered=False)
+        return xc, x0_prev
+
+    def _make_cached_sampler(
+        self, steps_to_do: int, progress: bool, k: int,
+        gi: tuple[int, int] | None = None,
+    ):
         """Sampler with encoder-feature caching ("Faster Diffusion",
         arXiv:2312.09608): the chain runs in super-steps of ``k`` — the
         first step of each group computes the encoder stack fresh, the
@@ -653,7 +693,13 @@ class Diffusion:
         sampler. The tail ``steps % k`` steps (nearest t=0, the most
         quality-sensitive) always run uncached. The cache never crosses
         the scan boundary — each group rebuilds it — so the scan carry
-        stays (x, key, x0_prev)."""
+        stays (x, key, x0_prev).
+
+        ``gi=(lo, hi)`` composes limited-interval guidance: a group is
+        guided iff ANY of its steps falls in [lo, hi) — the interval is
+        widened outward to group boundaries (the cache batch must be
+        consistent within a group), so caching never shrinks the guided
+        range the user asked for."""
         assert k >= 1
         # k beyond the chain length would leave head == 0 (no caching at
         # all); clamp so the user still gets 1 refresh + k-1 cached steps
@@ -667,66 +713,68 @@ class Diffusion:
         tail = steps_to_do % k
         head = steps_to_do - tail
 
-        if progress:
-            _tick = _make_progress_tick(steps_to_do)
+        _tick = _make_progress_tick(steps_to_do) if progress else None
 
-        def one_step(params, xc, x0_prev, t_scalar, step_key, y, eps_lv):
-            t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
-            if self.sampler == "dpm++":
-                xc, x0_prev = self.dpmpp_step(
-                    params, xc, t, x0_prev, y,
-                    first=t_scalar == steps_to_do - 1, eps_log_var=eps_lv,
-                )
-            elif self.sampler == "ddim":
-                xc, _ = self.ddim_step(
-                    params, xc, t, step_key, y, eps_log_var=eps_lv
-                )
-            else:
-                xc, _ = self.ddpm_step(
-                    params, xc, t, step_key, y, eps_log_var=eps_lv
-                )
-            if progress:
-                jax.debug.callback(_tick, t_scalar, ordered=False)
-            return xc, x0_prev
+        # guided flag per group of k (scan order: highest t first). A group
+        # is guided iff any of its steps lands in [lo, hi).
+        def _in_gi(t):
+            return gi is None or (gi[0] <= t < gi[1])
+
+        group_flags = [
+            any(_in_gi(steps_to_do - 1 - g * k - j) for j in range(k))
+            for g in range(head // k)
+        ]
+        tail_flags = [_in_gi(t) for t in range(tail - 1, -1, -1)]
 
         def sampler(params, rng, x, y):
-            def group_body(carry, ts_group):
-                xc, key, x0_prev = carry
-                cache = None
-                for j in range(k):  # python-unrolled; j==0 refreshes
-                    t = jnp.full(
-                        (xc.shape[0],), ts_group[j], dtype=jnp.int32
-                    )
-                    eps_lv, cache = self._guided_eps_cached(
-                        params, xc, t, y, cache, refresh=j == 0,
-                        want_log_var=want_lv,
+            def make_group_body(guided):
+                def group_body(carry, ts_group):
+                    xc, key, x0_prev = carry
+                    cache = None
+                    for j in range(k):  # python-unrolled; j==0 refreshes
+                        t = jnp.full(
+                            (xc.shape[0],), ts_group[j], dtype=jnp.int32
+                        )
+                        eps_lv, cache = self._guided_eps_cached(
+                            params, xc, t, y, cache, refresh=j == 0,
+                            want_log_var=want_lv, guided=guided,
+                        )
+                        key, step_key = jax.random.split(key)
+                        xc, x0_prev = self._one_step(
+                            params, xc, x0_prev, ts_group[j], step_key, y,
+                            eps_lv, steps_to_do, _tick,
+                        )
+                    return (xc, key, x0_prev), None
+                return group_body
+
+            def make_plain_body(guided):
+                def plain_body(carry, t_scalar):
+                    xc, key, x0_prev = carry
+                    t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
+                    eps_lv = self._guided_eps(
+                        params, xc, t, y, want_log_var=want_lv, guided=guided
                     )
                     key, step_key = jax.random.split(key)
-                    xc, x0_prev = one_step(
-                        params, xc, x0_prev, ts_group[j], step_key, y, eps_lv
+                    xc, x0_prev = self._one_step(
+                        params, xc, x0_prev, t_scalar, step_key, y, eps_lv,
+                        steps_to_do, _tick,
                     )
-                return (xc, key, x0_prev), None
-
-            def plain_body(carry, t_scalar):
-                xc, key, x0_prev = carry
-                t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
-                eps_lv = self._guided_eps(
-                    params, xc, t, y, want_log_var=want_lv
-                )
-                key, step_key = jax.random.split(key)
-                xc, x0_prev = one_step(
-                    params, xc, x0_prev, t_scalar, step_key, y, eps_lv
-                )
-                return (xc, key, x0_prev), None
+                    return (xc, key, x0_prev), None
+                return plain_body
 
             ts = jnp.arange(steps_to_do - 1, -1, -1)
             carry = (x, rng, jnp.zeros_like(x))
-            if head:
+            groups = ts[:head].reshape(head // k, k) if head else None
+            for start, length, guided in _runs(group_flags):
                 carry, _ = jax.lax.scan(
-                    group_body, carry, ts[:head].reshape(head // k, k)
+                    make_group_body(guided), carry,
+                    groups[start:start + length],
                 )
-            if tail:
-                carry, _ = jax.lax.scan(plain_body, carry, ts[head:])
+            for start, length, guided in _runs(tail_flags):
+                carry, _ = jax.lax.scan(
+                    make_plain_body(guided), carry,
+                    ts[head + start:head + start + length],
+                )
             return carry[0]
 
         return jax.jit(sampler)
@@ -742,15 +790,26 @@ class Diffusion:
         batch_size: int = 1,
         progress: bool = False,
         encoder_cache: int | None = None,
+        guidance_interval: tuple[float, float] | None = None,
     ):
         """Run the reverse chain (reference diffusion.py:155-226).
 
         `params` may be the live or the EMA pytree — EMA sampling is just a
         different argument (no weight swapping). Starts from N(0, I) when `x`
         is None. The whole chain is one compiled scan; the
-        (steps, progress, encoder_cache) triple is compilation-cached.
-        `encoder_cache=k` reuses encoder features for k-1 of every k steps
-        (opt-in, lossy — see _make_cached_sampler).
+        (steps, progress, encoder_cache, guidance_interval) tuple is
+        compilation-cached. `encoder_cache=k` reuses encoder features for
+        k-1 of every k steps (opt-in, lossy — see _make_cached_sampler).
+
+        `guidance_interval=(lo, hi)` restricts classifier-free guidance to
+        the chain fraction [lo, hi) — 0.0 is the clean end (t=0), 1.0 the
+        noise end (t=T). Outside the interval the step runs ONE conditional
+        model call instead of the doubled CFG batch, so e.g. (0.0, 0.6)
+        costs 0.6*2 + 0.4*1 = 1.6 forwards/step instead of 2 (1.25x).
+        Opt-in and lossy vs the always-guided chain; limited-interval
+        guidance is quality-positive at matched strength in the literature
+        (Kynkäänniemi et al. 2024, arXiv:2404.07724). No reference
+        analogue — capability extension.
         """
         if self.model.conditional:
             assert y is not None, "pass label iff model is class-conditional"
@@ -769,6 +828,25 @@ class Diffusion:
         if steps_to_do is None or steps_to_do > start_step:
             steps_to_do = start_step
 
+        gi = None
+        if guidance_interval is not None:
+            if self.guidance != "classifier_free":
+                raise ValueError(
+                    "guidance_interval requires classifier-free guidance "
+                    f"(this Diffusion uses {self.guidance!r})"
+                )
+            lo, hi = guidance_interval
+            if not (0.0 <= lo < hi <= 1.0):
+                raise ValueError(
+                    f"guidance_interval must satisfy 0 <= lo < hi <= 1 "
+                    f"(got {guidance_interval})"
+                )
+            # fractions of the executed chain -> rescaled step bounds;
+            # guided iff lo_step <= t < hi_step
+            gi = (round(lo * steps_to_do), round(hi * steps_to_do))
+            if gi == (0, steps_to_do):  # covers everything: exact sampler
+                gi = None
+
         if x is None:
             assert start_step == self.rescaled_num_steps, (
                 "cannot start from noise with current step that is not T"
@@ -783,7 +861,7 @@ class Diffusion:
         if y is not None:
             assert y.shape[0] == x.shape[0], "len(labels) != batch size"
 
-        key = (int(steps_to_do), bool(progress), int(encoder_cache or 0))
+        key = (int(steps_to_do), bool(progress), int(encoder_cache or 0), gi)
         if key not in self._sampler_cache:
             self._sampler_cache[key] = self._make_sampler(*key)
         return self._sampler_cache[key](params, rng, x, y)

@@ -65,6 +65,13 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
                        help="reuse UNet encoder features for k-1 of every k "
                             "steps ('Faster Diffusion'; opt-in, slightly "
                             "lossy, ~1.2x faster at k=2)")
+        g.add_argument("--guidance_interval", type=float, nargs=2,
+                       default=None, metavar=("LO", "HI"),
+                       help="restrict classifier-free guidance to the chain "
+                            "fraction [LO, HI) (0=clean end, 1=noise end); "
+                            "steps outside run one conditional forward "
+                            "instead of the doubled CFG batch (opt-in, "
+                            "lossy; arXiv:2404.07724)")
         g.add_argument("--dtype", type=str, default="auto", metavar=o,
                        choices=("auto", "bfloat16", "float32", "int8"),
                        help="model compute dtype: 'auto' picks bfloat16 on "

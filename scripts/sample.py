@@ -255,6 +255,10 @@ def main():
             steps_to_do=steps,
             progress=WORDY,
             encoder_cache=other_args.get("encoder_cache"),
+            guidance_interval=(
+                tuple(gi) if (gi := other_args.get("guidance_interval"))
+                else None
+            ),
         )
 
         out = to_uint8(np.asarray(out))

@@ -20,6 +20,12 @@ measurement loop locally (VERDICT.md round-2 item 4):
 Usage:
   python tools/quality_eval.py            # full run (TPU, ~10-20 min)
   QE_TRAIN_STEPS=200 QE_EVAL_N=64 python tools/quality_eval.py  # smoke
+  QE_CKPT=/tmp/qe.msgpack ...             # cache/reuse the trained params
+                                          # (training dominates wall-clock;
+                                          # reruns then only re-sample)
+  QE_MODES=enc,gi ...                     # restrict which lossy modes run
+                                          # (exact always runs; choices:
+                                          # enc, gi, int8, distill)
 
 Results land in BASELINE.md's "Measured sample quality" table.
 """
@@ -172,12 +178,41 @@ def main():
     print(f"backend={jax.default_backend()} train_steps={train_steps} "
           f"eval_n={eval_n}")
 
-    print("training UNet on synthetic data...")
-    model, ema_params = train_unet(train_steps, batch, dtype)
-    print("training classifier...")
-    cls_model, cls_params = train_classifier(
-        cls_steps, batch, jax.random.PRNGKey(5)
-    )
+    ckpt_path = os.environ.get("QE_CKPT")
+    if ckpt_path and os.path.exists(ckpt_path):
+        import flax.serialization
+
+        print(f"reusing trained params from {ckpt_path}...")
+        model = DiffusionModel(**MODEL_CFG, dtype=dtype)
+        cls_model = EncoderUNet(**CLS_CFG)
+        ex_x = jnp.zeros((1, 28, 28, 1), dtype)
+        ex_t = jnp.zeros((1,), jnp.int32)
+        tmpl = {
+            "ema": model.init(jax.random.PRNGKey(0), ex_x, ex_t, ex_t)[
+                "params"
+            ],
+            "cls": cls_model.init(jax.random.PRNGKey(0), ex_x, ex_t)[
+                "params"
+            ],
+        }
+        with open(ckpt_path, "rb") as f:
+            restored = flax.serialization.from_bytes(tmpl, f.read())
+        ema_params, cls_params = restored["ema"], restored["cls"]
+    else:
+        print("training UNet on synthetic data...")
+        model, ema_params = train_unet(train_steps, batch, dtype)
+        print("training classifier...")
+        cls_model, cls_params = train_classifier(
+            cls_steps, batch, jax.random.PRNGKey(5)
+        )
+        if ckpt_path:
+            import flax.serialization
+
+            with open(ckpt_path, "wb") as f:
+                f.write(flax.serialization.to_bytes(
+                    {"ema": ema_params, "cls": cls_params}
+                ))
+            print(f"saved trained params to {ckpt_path}")
 
     @jax.jit
     def logits_of(x):
@@ -192,7 +227,7 @@ def main():
     y_eval = jnp.asarray((np.arange(eval_n) % 27) + 1, jnp.int32)
     rng = jax.random.PRNGKey(123)
 
-    def sample_mode(diffusion, params, enc_cache=None):
+    def sample_mode(diffusion, params, enc_cache=None, gi=None):
         outs = []
         per = min(eval_n, 128)
         for i in range(0, eval_n, per):
@@ -200,36 +235,49 @@ def main():
                 diffusion.denoise(
                     params, jax.random.fold_in(rng, i),
                     y=y_eval[i : i + per], batch_size=per,
-                    encoder_cache=enc_cache,
+                    encoder_cache=enc_cache, guidance_interval=gi,
                 )
             ))
         return np.concatenate(outs, 0)
 
+    wanted = set(
+        os.environ.get("QE_MODES", "enc,gi,int8,distill").split(",")
+    )
     modes = {}
     exact_diff = Diffusion(model=model, **samp_args)
     print("sampling: exact...")
     modes["exact"] = sample_mode(exact_diff, ema_params)
-    print("sampling: encoder_cache 2/3...")
-    modes["enc2"] = sample_mode(exact_diff, ema_params, enc_cache=2)
-    modes["enc3"] = sample_mode(exact_diff, ema_params, enc_cache=3)
+    if "enc" in wanted:
+        print("sampling: encoder_cache 2/3...")
+        modes["enc2"] = sample_mode(exact_diff, ema_params, enc_cache=2)
+        modes["enc3"] = sample_mode(exact_diff, ema_params, enc_cache=3)
+    if "gi" in wanted:
+        print("sampling: guidance_interval (0.1, 0.7) / (0.15, 0.55)...")
+        modes["gi_0.1-0.7"] = sample_mode(
+            exact_diff, ema_params, gi=(0.1, 0.7)
+        )
+        modes["gi_0.15-0.55"] = sample_mode(
+            exact_diff, ema_params, gi=(0.15, 0.55)
+        )
 
-    print("sampling: int8-static (calibrated)...")
-    from nicediffusion_tpu.ops.quant import (
-        build_int8_variables, calibration_inputs,
-    )
+    if "int8" in wanted:
+        print("sampling: int8-static (calibrated)...")
+        from nicediffusion_tpu.ops.quant import (
+            build_int8_variables, calibration_inputs,
+        )
 
-    model_q = DiffusionModel(**MODEL_CFG, dtype=dtype, quantized=True)
-    diff_q = Diffusion(model=model_q, **samp_args)
-    serving = build_int8_variables(
-        model_q, ema_params,
-        calibration_inputs(
-            diff_q, ema_params, jax.random.PRNGKey(77), y=y_eval[:8],
-            batch_size=8,
-        ),
-    )
-    modes["int8"] = sample_mode(diff_q, serving)
+        model_q = DiffusionModel(**MODEL_CFG, dtype=dtype, quantized=True)
+        diff_q = Diffusion(model=model_q, **samp_args)
+        serving = build_int8_variables(
+            model_q, ema_params,
+            calibration_inputs(
+                diff_q, ema_params, jax.random.PRNGKey(77), y=y_eval[:8],
+                batch_size=8,
+            ),
+        )
+        modes["int8"] = sample_mode(diff_q, serving)
 
-    if os.environ.get("QE_DISTILL", "1") == "1":
+    if "distill" in wanted and os.environ.get("QE_DISTILL", "1") == "1":
         # one progressive-distillation halving round: 250-step DDIM teacher
         # -> 125-step student initialised from the teacher. NOTE the
         # distillation pipeline strips guidance (training/distill.py), so
