@@ -20,6 +20,11 @@ Configuration (env overrides):
                 BENCH_STEPS=50 gives the secondary DDIM-50 metric)
   BENCH_ENC_CACHE  k > 1 reuses encoder features for k-1 of every k steps
                 ("Faster Diffusion" serving mode; lossy; _enck suffix)
+  BENCH_GUIDANCE_INTERVAL  "lo,hi" restricts CFG to that chain fraction
+                (limited-interval guidance; lossy; _gilo-hi suffix)
+  BENCH_MAX_STACK  1 (default, int8 headline runs only): also time every
+                lossy lever composed (int8 + enc_cache 2 + gi 0.1-0.7) and
+                carry it as max_stack_value / max_stack_vs_baseline
   BENCH_TRACE   set to a directory to capture a jax.profiler device trace
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is computed
@@ -168,6 +173,22 @@ def main():
         )
         exact_sps = batch / exact_elapsed
 
+    # max serving stack (default on, int8-headline runs only): every lossy
+    # lever composed — int8 static + encoder_cache 2 + limited-interval
+    # guidance (0.1, 0.7) — timed in the same process so the artifact also
+    # records the fastest configuration this framework serves at. Quality
+    # deltas for each lever are in BASELINE.md "Measured sample quality".
+    stack_sps = None
+    stack_cfg = None
+    if (quantized and use_cfg and enc_cache is None and gi is None
+            and os.environ.get("BENCH_MAX_STACK", "1") == "1"):
+        stack_cfg = "int8+enc_cache2+gi0.1-0.7"
+        stack_elapsed = _time_denoise(
+            diffusion, params, rng, y, batch, 2, max(runs - 1, 1),
+            (0.1, 0.7),
+        )
+        stack_sps = batch / stack_elapsed
+
     # per-sample FLOPs for the baseline estimate: cost of one UNet forward
     # (always the float params — the baseline denominator is the exact
     # model's FLOP count regardless of serving dtype)
@@ -228,6 +249,14 @@ def main():
         if ref_samples_per_sec:
             record["exact_bf16_vs_baseline"] = round(
                 exact_sps / ref_samples_per_sec, 4
+            )
+    if stack_sps is not None:
+        # fastest served configuration: all lossy levers composed
+        record["max_stack_value"] = round(stack_sps, 4)
+        record["max_stack_config"] = stack_cfg
+        if ref_samples_per_sec:
+            record["max_stack_vs_baseline"] = round(
+                stack_sps / ref_samples_per_sec, 4
             )
     print(json.dumps(record))
 

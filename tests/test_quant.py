@@ -194,6 +194,15 @@ def test_static_int8_serving_path(rng_np):
     )
     assert np.isfinite(cached).all()
 
+    # the full serving stack (bench.py max-stack config): int8 serving
+    # dict + encoder_cache + limited-interval guidance all composed
+    stacked = np.asarray(
+        diff_q.denoise(serving, jax.random.PRNGKey(3), y=y, batch_size=2,
+                       encoder_cache=2, guidance_interval=(0.2, 0.7))
+    )
+    assert np.isfinite(stacked).all()
+    assert np.corrcoef(stacked.ravel(), exact.ravel())[0, 1] > 0.9
+
 
 def test_quantized_attention_optin(rng_np):
     """quantized_attention=True routes the attention qkv/proj projections

@@ -25,7 +25,9 @@ Usage:
                                           # reruns then only re-sample)
   QE_MODES=enc,gi ...                     # restrict which lossy modes run
                                           # (exact always runs; choices:
-                                          # enc, gi, int8, distill)
+                                          # enc, gi, int8, distill; the
+                                          # int8+enc2+gi max-stack row runs
+                                          # when int8 and gi/stack are on)
 
 Results land in BASELINE.md's "Measured sample quality" table.
 """
@@ -276,6 +278,14 @@ def main():
             ),
         )
         modes["int8"] = sample_mode(diff_q, serving)
+        if "stack" in wanted or "gi" in wanted:
+            # the bench.py max-stack serving config: every lossy lever
+            # composed (int8 static + encoder_cache 2 + limited-interval
+            # guidance 0.1-0.7)
+            print("sampling: max stack (int8 + enc_cache 2 + gi 0.1-0.7)...")
+            modes["stack_int8_enc2_gi"] = sample_mode(
+                diff_q, serving, enc_cache=2, gi=(0.1, 0.7)
+            )
 
     if "distill" in wanted and os.environ.get("QE_DISTILL", "1") == "1":
         # one progressive-distillation halving round: 250-step DDIM teacher
