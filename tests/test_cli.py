@@ -159,3 +159,20 @@ def test_dtype_flag_parses():
     assert o["dtype"] == "bfloat16"
     with pytest.raises(SystemExit):
         p.parse_args(base + ["--dtype", "float16"])
+
+
+def test_guidance_interval_flag_routes_to_other_args():
+    """--guidance_interval LO HI (limited-interval CFG, capability
+    extension) parses as two floats and routes into other_args, where
+    scripts/sample.py picks it up as denoise(guidance_interval=...)."""
+    p = make_argparser("diff_sample")
+    base = ["--model_path", "64x64_diffusion.pt", "--batch_size", "2",
+            "--num_samples", "1"]
+    args = p.parse_args(base)
+    assert args.guidance_interval is None
+    args = p.parse_args(base + ["--guidance_interval", "0.1", "0.7"])
+    o, m, d = get_dicts_from_args(args)
+    assert o["guidance_interval"] == [0.1, 0.7]
+    assert "guidance_interval" not in d and "guidance_interval" not in m
+    with pytest.raises(SystemExit):  # needs exactly two values
+        p.parse_args(base + ["--guidance_interval", "0.5"])
