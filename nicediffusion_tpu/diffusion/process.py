@@ -94,21 +94,27 @@ def _make_progress_tick(steps_to_do: int):
     round-trip on the data path."""
     import tqdm
 
-    bars: dict = {}
+    state: dict = {"bar": None, "seen": 0}
 
     def _tick(t):
-        # position derived from the step index (idempotent — robust to
-        # callback reordering and to successive chains reusing this
-        # compiled sampler; a fresh bar opens whenever none is live)
+        # Reorder-safe across unordered callback delivery: every chain
+        # delivers exactly steps_to_do ticks, so the bar closes on the
+        # steps_to_do-th tick (count-based) rather than on t==0 — a t==0
+        # close with a straggling t>0 callback behind it would reopen an
+        # orphan bar. Display position is still max-of-step-index, so
+        # out-of-order ticks never move the bar backwards.
         t = int(t)
-        if bars.get("bar") is None:
-            bars["bar"] = tqdm.tqdm(total=steps_to_do)
-        bar = bars["bar"]
+        if state["bar"] is None:
+            state["bar"] = tqdm.tqdm(total=steps_to_do)
+        bar = state["bar"]
+        state["seen"] += 1
         bar.n = max(bar.n, steps_to_do - t)
         bar.refresh()
-        if t == 0:
+        if state["seen"] >= steps_to_do:
+            bar.n = steps_to_do
             bar.close()
-            bars["bar"] = None
+            state["bar"] = None
+            state["seen"] = 0
 
     return _tick
 

@@ -86,7 +86,7 @@ class Int8Conv(nn.Module):
         from ..ops.quant import (
             int8_conv,
             int8_conv_static,
-            quantize_weight_channelwise,
+            static_quant_triple,
         )
 
         k = self.kernel_size
@@ -113,16 +113,12 @@ class Int8Conv(nn.Module):
             return (o + bias.astype(jnp.float32)).astype(out_dtype)
 
         if self.is_mutable_collection("quant"):
-            absmax = self.get_variable("calib", "absmax")
-            if isinstance(absmax, tuple):
-                absmax = absmax[0]
-            act_scale = jnp.maximum(
-                jnp.asarray(absmax, jnp.float32), 1e-6
-            ) / 127.0
-            w_q, s_w = quantize_weight_channelwise(kernel, axis=-1)
+            w_q, inv_act, deq = static_quant_triple(
+                kernel, self.get_variable("calib", "absmax")
+            )
             self.variable("quant", "kernel_q", lambda: w_q)
-            self.variable("quant", "inv_act", lambda: 1.0 / act_scale)
-            self.variable("quant", "deq", lambda: s_w * act_scale)
+            self.variable("quant", "inv_act", lambda: inv_act)
+            self.variable("quant", "deq", lambda: deq)
 
         if self.has_variable("quant", "kernel_q"):
             return int8_conv_static(
@@ -155,7 +151,11 @@ class Int8Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.quant import int8_dense, quantize_weight_channelwise
+        from ..ops.quant import (
+            int8_dense,
+            int8_dense_static,
+            static_quant_triple,
+        )
 
         kernel = self.param(
             "kernel",
@@ -177,32 +177,21 @@ class Int8Dense(nn.Module):
             return (o + bias.astype(jnp.float32)).astype(out_dtype)
 
         if self.is_mutable_collection("quant"):
-            absmax = self.get_variable("calib", "absmax")
-            if isinstance(absmax, tuple):
-                absmax = absmax[0]
-            act_scale = jnp.maximum(
-                jnp.asarray(absmax, jnp.float32), 1e-6
-            ) / 127.0
-            w_q, s_w = quantize_weight_channelwise(kernel, axis=-1)
+            w_q, inv_act, deq = static_quant_triple(
+                kernel, self.get_variable("calib", "absmax")
+            )
             self.variable("quant", "kernel_q", lambda: w_q)
-            self.variable("quant", "inv_act", lambda: 1.0 / act_scale)
-            self.variable("quant", "deq", lambda: s_w * act_scale)
+            self.variable("quant", "inv_act", lambda: inv_act)
+            self.variable("quant", "deq", lambda: deq)
 
         if self.has_variable("quant", "kernel_q"):
-            x_q = jnp.clip(
-                jnp.round(
-                    x.astype(jnp.float32)
-                    * self.get_variable("quant", "inv_act")
-                ),
-                -127, 127,
-            ).astype(jnp.int8)
-            o = jax.lax.dot_general(
-                x_q, self.get_variable("quant", "kernel_q"),
-                (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+            return int8_dense_static(
+                x,
+                self.get_variable("quant", "kernel_q"),
+                self.get_variable("quant", "inv_act"),
+                self.get_variable("quant", "deq"),
+                bias=bias, out_dtype=out_dtype,
             )
-            o = o.astype(jnp.float32) * self.get_variable("quant", "deq")
-            return (o + bias.astype(jnp.float32)).astype(out_dtype)
 
         return int8_dense(x, kernel, bias=bias, out_dtype=out_dtype)
 

@@ -25,6 +25,8 @@ __all__ = [
     "int8_conv",
     "int8_dense",
     "int8_conv_static",
+    "int8_dense_static",
+    "static_quant_triple",
     "merge_calibrations",
     "collect_calibration",
     "freeze_int8",
@@ -250,6 +252,43 @@ def calibration_inputs(diffusion, params, rng, y=None, batch_size=8,
             yy = y
         inputs.append((x_t, mapped, yy))
     return inputs
+
+
+def static_quant_triple(kernel, absmax, axis: int = -1):
+    """Calibrated freeze shared by Int8Conv/Int8Dense (models/unet.py):
+    per-output-channel int8 weights + a static activation scale from the
+    calibration absmax, as the 'quant'-collection triple
+    ``(kernel_q int8, inv_act f32 scalar, deq f32 [Cout])``.
+
+    This is THE single place the calibration convention lives (the 1e-6
+    absmax clamp, the /127 symmetric range, the act*weight dequant fold) —
+    conv and dense quantization must never diverge on it.
+    """
+    if isinstance(absmax, tuple):  # flax sow stores tuples
+        absmax = absmax[0]
+    act_scale = jnp.maximum(jnp.asarray(absmax, jnp.float32), 1e-6) / 127.0
+    w_q, s_w = quantize_weight_channelwise(kernel, axis=axis)
+    return w_q, 1.0 / act_scale, s_w * act_scale
+
+
+def int8_dense_static(x, w_q, inv_act_scale, deq, bias=None, out_dtype=None):
+    """Static-scale int8 dense: the serving fast path for the attention
+    qkv/output projections (dense analogue of `int8_conv_static` — same
+    calibrated-constant activation scale, pre-quantized weights, int32
+    MXU accumulation, f32 dequant epilogue)."""
+    out_dtype = out_dtype or x.dtype
+    x_q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * inv_act_scale), -127, 127
+    ).astype(jnp.int8)
+    o = jax.lax.dot_general(
+        x_q, w_q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o = o.astype(jnp.float32) * deq
+    if bias is not None:
+        o = o + bias.astype(jnp.float32)
+    return o.astype(out_dtype)
 
 
 def int8_dense(x, w, bias=None, out_dtype=None):

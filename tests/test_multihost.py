@@ -151,3 +151,43 @@ def test_two_process_checkpoint_roundtrip(tmp_path):
         )
     assert "WORKER_0_OK" in outs[0]
     assert "WORKER_1_OK" in outs[1]
+
+
+def test_maybe_initialize_distributed_env_plumbing(monkeypatch):
+    """Unit coverage of the launcher env contract (parallel/multihost.py):
+    no-op without JAX_COORDINATOR, correct kwarg mapping from the env
+    triple, and idempotence — scripts/train.py and scripts/sample.py call
+    this on every launch, so a regression breaks real multi-host runs."""
+    from nicediffusion_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(
+        multihost.jax.distributed, "initialize",
+        lambda **kw: calls.append(kw),
+    )
+    monkeypatch.setattr(multihost, "_initialized", False)
+
+    # no-op without the coordinator env
+    monkeypatch.delenv("JAX_COORDINATOR", raising=False)
+    assert multihost.maybe_initialize_distributed() is False
+    assert calls == []
+
+    # full env triple maps onto initialize kwargs
+    monkeypatch.setenv("JAX_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    assert multihost.maybe_initialize_distributed() is True
+    assert calls == [dict(
+        coordinator_address="10.0.0.1:1234", num_processes=4, process_id=3,
+    )]
+
+    # idempotent: a second call never re-initializes
+    assert multihost.maybe_initialize_distributed() is False
+    assert len(calls) == 1
+
+    # coordinator alone is enough (num_processes/process_id auto-detected)
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES")
+    monkeypatch.delenv("JAX_PROCESS_ID")
+    assert multihost.maybe_initialize_distributed() is True
+    assert calls[-1] == dict(coordinator_address="10.0.0.1:1234")

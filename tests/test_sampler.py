@@ -291,3 +291,38 @@ def test_ema_params_are_just_another_pytree(rng_np):
     a = jdiff.denoise(params, jax.random.PRNGKey(0), y=y, batch_size=2)
     b = jdiff.denoise(ema, jax.random.PRNGKey(0), y=y, batch_size=2)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_progress_tick_reorder_safe():
+    """The tqdm tick closes on the steps_to_do-th callback (count-based),
+    so unordered delivery — e.g. the t=0 tick arriving before a straggler
+    t=1 — never leaves an orphan bar behind, and a second chain through
+    the same compiled sampler starts from a fresh bar."""
+    from nicediffusion_tpu.diffusion.process import _make_progress_tick
+
+    tick = _make_progress_tick(4)
+    state = tick.__closure__  # sanity: closure-based state exists
+    assert state is not None
+
+    # chain 1, delivered out of order with t=0 NOT last
+    for t in (3, 2, 0, 1):
+        tick(t)
+    # all 4 ticks delivered -> bar closed, no orphan live bar
+    cells = {
+        k: v for cell in tick.__closure__
+        for k, v in (cell.cell_contents.items()
+                     if isinstance(cell.cell_contents, dict) else ())
+    }
+    assert cells.get("bar") is None
+    assert cells.get("seen") == 0
+
+    # chain 2 reuses the same tick and completes cleanly in order
+    for t in (3, 2, 1, 0):
+        tick(t)
+    cells = {
+        k: v for cell in tick.__closure__
+        for k, v in (cell.cell_contents.items()
+                     if isinstance(cell.cell_contents, dict) else ())
+    }
+    assert cells.get("bar") is None
+    assert cells.get("seen") == 0

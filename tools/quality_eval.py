@@ -233,10 +233,11 @@ def main():
         outs = []
         per = min(eval_n, 128)
         for i in range(0, eval_n, per):
+            labels = y_eval[i : i + per]  # final slice may be short
             outs.append(np.asarray(
                 diffusion.denoise(
                     params, jax.random.fold_in(rng, i),
-                    y=y_eval[i : i + per], batch_size=per,
+                    y=labels, batch_size=int(labels.shape[0]),
                     encoder_cache=enc_cache, guidance_interval=gi,
                 )
             ))
