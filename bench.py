@@ -26,6 +26,9 @@ Configuration (env overrides):
                 lossy lever composed (int8 + enc_cache 2 + gi 0.1-0.7) and
                 carry it as max_stack_value / max_stack_vs_baseline
   BENCH_TRACE   set to a directory to capture a jax.profiler device trace
+  BENCH_PRESET  model preset (default openai_64 — the headline metric;
+                EMNIST gives a CPU-feasible smoke of the whole bench
+                pipeline, metric prefix switches accordingly)
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is computed
 against a documented A100 torch-eager estimate: the measured per-sample FLOP
@@ -39,6 +42,15 @@ from __future__ import annotations
 import json
 import os
 import time
+
+# Honor an explicit JAX_PLATFORMS request BEFORE first backend use (the
+# container's TPU-relay sitecustomize can initialize the relay client even
+# when the env asks for cpu — see tools/quality_eval.py). Lets
+# JAX_PLATFORMS=cpu BENCH_PRESET=EMNIST smoke the bench pipeline anywhere.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jax
 import jax.numpy as jnp
@@ -84,13 +96,14 @@ def main():
     from nicediffusion_tpu.models.unet import DiffusionModel
     from nicediffusion_tpu.utils.config import DIFFUSION_PRESETS, MODEL_PRESETS
 
-    mcfg = dict(MODEL_PRESETS["openai_64"])
+    preset = os.environ.get("BENCH_PRESET", "openai_64")
+    mcfg = dict(MODEL_PRESETS[preset])
     if use_cfg:
         mcfg["num_classes"] += 1  # null class for CFG
     model = DiffusionModel(**mcfg, dtype=dtype, quantized=quantized)
 
     sampler = os.environ.get("BENCH_SAMPLER", "ddpm")  # ddpm | ddim | dpm++
-    dcfg = dict(DIFFUSION_PRESETS["openai_64"])
+    dcfg = dict(DIFFUSION_PRESETS[preset])
     dcfg.update(
         rescaled_num_steps=steps,
         sampler=sampler,
@@ -101,11 +114,12 @@ def main():
     )
     diffusion = Diffusion(model=model, **dcfg)
 
+    res, in_ch = mcfg["resolution"], mcfg["in_channels"]
     rng = jax.random.PRNGKey(0)
     shapes = jax.eval_shape(
         lambda: model.init(
             rng,
-            jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, res, res, in_ch)),
             jnp.zeros((1,), jnp.int32),
             jnp.zeros((1,), jnp.int32),
         )
@@ -116,7 +130,7 @@ def main():
                    ).reshape(s.shape).astype(s.dtype),
         shapes,
     )
-    y = jnp.arange(batch, dtype=jnp.int32) % 1000
+    y = jnp.arange(batch, dtype=jnp.int32) % MODEL_PRESETS[preset]["num_classes"]
 
     enc_cache = int(os.environ.get("BENCH_ENC_CACHE", 0)) or None
     # BENCH_GUIDANCE_INTERVAL="lo,hi": limited-interval CFG (opt-in lossy)
@@ -202,7 +216,7 @@ def main():
     def one_fwd(p, x, t, yy):
         return analysis_model.apply({"params": p}, x, t, yy)
 
-    x1 = jnp.zeros((1, 64, 64, 3), dtype=dtype)
+    x1 = jnp.zeros((1, res, res, in_ch), dtype=dtype)
     try:
         analysis = (
             jax.jit(one_fwd)
@@ -228,7 +242,10 @@ def main():
 
     record = {
         "metric": (
-            f"imagenet64_{sampler.replace('+', 'p')}{steps}"
+            # the openai_64 preset keeps its historical "imagenet64" prefix
+            # (continuity across BENCH_r*.json artifacts)
+            ("imagenet64" if preset == "openai_64" else preset.lower())
+            + f"_{sampler.replace('+', 'p')}{steps}"
             + ("_cfg" if use_cfg else "")
             + ("_int8" if quantized else "")
             + (f"_enc{enc_cache}" if enc_cache else "")
