@@ -38,16 +38,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Honor an explicit JAX_PLATFORMS request BEFORE first backend use. The
-# container's TPU-relay sitecustomize patches jax's backend resolution in a
-# way that can initialize the relay client even when the env asks for cpu
-# (observed: jax.default_backend() hanging on a down relay under
-# JAX_PLATFORMS=cpu); jax.config.update applied early wins — same mechanism
-# as tests/conftest.py and __graft_entry__.py.
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import _env  # noqa: F401,E402  (make JAX_PLATFORMS authoritative before jax init)
 
 import jax
 import jax.numpy as jnp

@@ -17,6 +17,8 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import _env  # noqa: F401,E402  (make JAX_PLATFORMS authoritative before jax init)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -32,6 +32,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import _env  # noqa: F401,E402  (make JAX_PLATFORMS authoritative before jax init)
+
 import numpy as np
 
 PUBLISHED_PARAM_COUNTS = {
