@@ -72,6 +72,32 @@ def test_train_cli_then_export_then_sample_cli(tmp_path):
     files = list(out_dir.iterdir())
     assert files, "sample.py wrote no images"
 
+    # the composed max serving stack through the CLI: int8 calibration +
+    # encoder cache + limited-interval guidance in ONE invocation (the
+    # bench.py max_stack configuration; README serving example)
+    stack_dir = tmp_path / "out_stack"
+    stack_dir.mkdir()
+    r = _run(
+        [f"{REPO}/scripts/sample.py", "--model_path", "EMNIST_trained.npz",
+         "--batch_size", "2", "--num_samples", "1", "--save_path",
+         f"{stack_dir}/", "--cpu", "--custom",
+         "--dtype", "int8", "--encoder_cache", "2",
+         "--guidance_interval", "0.1", "0.7",
+         "--resolution", "28", "--model_channels", "64",
+         "--channel_mult", "1/2/4", "--num_res_blocks", "2",
+         "--attention_resolutions", "7/14", "--num_classes", "27",
+         "--num_heads", "4", "--in_channels", "1", "--dropout", "0.05",
+         "--split_qkv_first", "--resblock_updown", "--use_adaptive_gn",
+         "--rescaled_num_steps", "10", "--original_num_steps", "1000",
+         "--beta_schedule", "cosine",
+         "--sampling_var_type", "learned_interpolation",
+         "--guidance_method", "classifier_free", "--guidance_strength", "0.8",
+         "--labels", "3", "--seed", "0"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert list(stack_dir.iterdir()), "stacked sample.py wrote no images"
+
 
 @pytest.mark.slow
 def test_training_learns_data_distribution(tmp_path):
