@@ -11,7 +11,7 @@
 
 PY ?= python
 
-.PHONY: test test-all dryrun bench native
+.PHONY: test test-all dryrun bench bench-smoke native
 
 test:
 	$(PY) -m pytest tests/ -q -m "not slow"
@@ -24,6 +24,13 @@ dryrun:
 
 bench:
 	$(PY) bench.py
+
+# bench-smoke — the whole bench pipeline (int8 headline + exact control +
+# max serving stack in one JSON line) on CPU with the EMNIST preset; no
+# TPU required. Numbers are meaningless on CPU — this checks plumbing.
+bench-smoke:
+	JAX_PLATFORMS=cpu BENCH_PRESET=EMNIST BENCH_STEPS=6 BENCH_BATCH=4 \
+	BENCH_RUNS=1 $(PY) bench.py
 
 native:
 	$(PY) -c "from nicediffusion_tpu.training.native_loader import _build_lib; print(_build_lib())"
