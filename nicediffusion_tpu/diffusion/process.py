@@ -638,10 +638,18 @@ class Diffusion:
             for t in range(steps_to_do - 1, -1, -1)
         ]
 
+        # Only the multistep sampler threads pred_x0 history through the
+        # carry. Keep the ddpm/ddim carry at (x, key): an extra carried
+        # [B,H,W,C] buffer is not free — on the v5e chip the always-carried
+        # x0_prev cost the int8 DDPM-250 chain 12% (1.546 -> 1.359
+        # samples/sec; bisected to the round-3 restructure) by perturbing
+        # XLA's scan buffering around the fused quantize epilogues.
+        pack, unpack = self._carry_fns()
+
         def sampler(params, rng, x, y):
             def make_body(guided):
                 def body(carry, t_scalar):
-                    xc, key, x0_prev = carry
+                    xc, key, x0_prev = unpack(carry)
                     key, step_key = jax.random.split(key)
                     t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
                     eps_lv = self._guided_eps(
@@ -651,11 +659,11 @@ class Diffusion:
                         params, xc, x0_prev, t_scalar, step_key, y, eps_lv,
                         steps_to_do, _tick,
                     )
-                    return (xc, key, x0_prev), None
+                    return pack(xc, key, x0_prev), None
                 return body
 
             ts = jnp.arange(steps_to_do - 1, -1, -1)
-            carry = (x, rng, jnp.zeros_like(x))
+            carry = pack(x, rng, jnp.zeros_like(x))
             for start, length, guided in _runs(flags):
                 carry, _ = jax.lax.scan(
                     make_body(guided), carry, ts[start:start + length]
@@ -663,6 +671,15 @@ class Diffusion:
             return carry[0]
 
         return jax.jit(sampler)
+
+    def _carry_fns(self):
+        """(pack, unpack) for the scan carry: (x, key, x0_prev) for the
+        multistep dpm++ sampler, (x, key) otherwise — see _make_sampler."""
+        if self.sampler == "dpm++":
+            return (lambda xc, key, x0: (xc, key, x0),
+                    lambda carry: carry)
+        return (lambda xc, key, x0: (xc, key),
+                lambda carry: (*carry, None))
 
     def _one_step(self, params, xc, x0_prev, t_scalar, step_key, y, eps_lv,
                   steps_to_do, tick):
@@ -699,7 +716,8 @@ class Diffusion:
         sampler. The tail ``steps % k`` steps (nearest t=0, the most
         quality-sensitive) always run uncached. The cache never crosses
         the scan boundary — each group rebuilds it — so the scan carry
-        stays (x, key, x0_prev).
+        stays (x, key) (+ x0_prev for the multistep dpm++ sampler, see
+        _carry_fns).
 
         ``gi=(lo, hi)`` composes limited-interval guidance: a group is
         guided iff ANY of its steps falls in [lo, hi) — the interval is
@@ -732,10 +750,12 @@ class Diffusion:
         ]
         tail_flags = [_in_gi(t) for t in range(tail - 1, -1, -1)]
 
+        pack, unpack = self._carry_fns()
+
         def sampler(params, rng, x, y):
             def make_group_body(guided):
                 def group_body(carry, ts_group):
-                    xc, key, x0_prev = carry
+                    xc, key, x0_prev = unpack(carry)
                     cache = None
                     for j in range(k):  # python-unrolled; j==0 refreshes
                         t = jnp.full(
@@ -750,12 +770,12 @@ class Diffusion:
                             params, xc, x0_prev, ts_group[j], step_key, y,
                             eps_lv, steps_to_do, _tick,
                         )
-                    return (xc, key, x0_prev), None
+                    return pack(xc, key, x0_prev), None
                 return group_body
 
             def make_plain_body(guided):
                 def plain_body(carry, t_scalar):
-                    xc, key, x0_prev = carry
+                    xc, key, x0_prev = unpack(carry)
                     t = jnp.full((xc.shape[0],), t_scalar, dtype=jnp.int32)
                     eps_lv = self._guided_eps(
                         params, xc, t, y, want_log_var=want_lv, guided=guided
@@ -765,11 +785,11 @@ class Diffusion:
                         params, xc, x0_prev, t_scalar, step_key, y, eps_lv,
                         steps_to_do, _tick,
                     )
-                    return (xc, key, x0_prev), None
+                    return pack(xc, key, x0_prev), None
                 return plain_body
 
             ts = jnp.arange(steps_to_do - 1, -1, -1)
-            carry = (x, rng, jnp.zeros_like(x))
+            carry = pack(x, rng, jnp.zeros_like(x))
             groups = ts[:head].reshape(head // k, k) if head else None
             for start, length, guided in _runs(group_flags):
                 carry, _ = jax.lax.scan(
