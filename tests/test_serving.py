@@ -1,0 +1,226 @@
+"""Serving subsystem tests: micro-batching semantics, per-request
+determinism, padding, HTTP front end (nicediffusion_tpu/serving/).
+
+No reference analogue (the reference's only entry point is the one-shot
+scripts/sample.py); the contract under test is this framework's own:
+one compiled chain at a fixed serve_batch, FIFO packing with a linger
+window, per-request x_T seeds so deterministic samplers (DDIM eta=0) give
+batch-position-independent outputs.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nicediffusion_tpu.diffusion.process import Diffusion
+from nicediffusion_tpu.models.unet import DiffusionModel
+from nicediffusion_tpu.serving import (
+    SamplerService,
+    ServingConfig,
+    decode_images,
+    make_server,
+)
+from nicediffusion_tpu.serving.http import _encode
+
+
+def _tiny_service(serve_batch=4, linger_ms=200.0, conditional=True,
+                  steps=4, **cfg_kw):
+    model = DiffusionModel(
+        resolution=8, in_channels=1, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        num_heads=2, num_classes=5 if conditional else None, dropout=0.0,
+        resblock_updown=False, use_adaptive_gn=False, split_qkv_first=True,
+    )
+    diffusion = Diffusion(
+        model=model, original_num_steps=40, rescaled_num_steps=steps,
+        sampling_var_type="learned_interpolation", loss_type="hybrid",
+        beta_schedule="linear", sampler="ddim", ddim_eta=0.0, use_ddim=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng, jnp.zeros((1, 8, 8, 1)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32) if conditional else None,
+    )["params"]
+    return SamplerService(
+        diffusion, params,
+        ServingConfig(serve_batch=serve_batch, linger_ms=linger_ms, **cfg_kw),
+    )
+
+
+def test_submit_and_shapes():
+    with _tiny_service() as svc:
+        out = svc.sample(labels=[1, 2], seed=0, timeout=120)
+        assert out.shape == (2, 8, 8, 1)
+        assert out.dtype == np.float32
+        assert np.isfinite(out).all()
+
+
+def test_microbatching_coalesces_concurrent_requests():
+    with _tiny_service(serve_batch=4, linger_ms=500.0) as svc:
+        svc.warmup()
+        futs = [svc.submit(labels=[i], seed=i) for i in range(4)]
+        outs = [f.result(timeout=120) for f in futs]
+        s = svc.stats()
+        # 4 single-row requests filled exactly one 4-row batch (the linger
+        # window held the first until the batch was full); warmup bypasses
+        # the queue and does not count in serving stats
+        assert s["batches"] == 1
+        assert s["samples"] == 4
+        assert s["padded_rows"] == 0
+        assert all(o.shape == (1, 8, 8, 1) for o in outs)
+
+
+def test_partial_batch_is_padded_and_flushed_by_linger():
+    with _tiny_service(serve_batch=4, linger_ms=30.0) as svc:
+        svc.warmup()
+        out = svc.sample(labels=[3], seed=7, timeout=120)
+        assert out.shape == (1, 8, 8, 1)
+        s = svc.stats()
+        assert s["padded_rows"] == 3  # 1 real row + 3 padding
+        assert 0.0 < s["occupancy"] < 1.0
+
+
+def test_deterministic_sampler_is_batch_position_independent():
+    # DDIM eta=0 is deterministic given x_T; x_T comes from the request
+    # seed, so the same (labels, seed) must reproduce bit-identically no
+    # matter what it was co-batched with.
+    with _tiny_service(serve_batch=4, linger_ms=300.0) as svc:
+        svc.warmup()
+        # run 1: target request alone (padded batch)
+        alone = svc.sample(labels=[2], seed=42, timeout=120)
+        # run 2: same request co-batched with three others, in last position
+        futs = [svc.submit(labels=[i], seed=i) for i in range(3)]
+        futs.append(svc.submit(labels=[2], seed=42))
+        outs = [f.result(timeout=120) for f in futs]
+        np.testing.assert_allclose(alone, outs[-1], rtol=0, atol=1e-6)
+
+
+def test_fifo_packing_request_spans_to_next_batch():
+    with _tiny_service(serve_batch=4, linger_ms=150.0) as svc:
+        svc.warmup()
+        f1 = svc.submit(labels=[0, 1, 2], seed=1)  # 3 rows
+        f2 = svc.submit(labels=[3, 4], seed=2)     # 2 rows -> next batch
+        o1, o2 = f1.result(timeout=120), f2.result(timeout=120)
+        assert o1.shape == (3, 8, 8, 1) and o2.shape == (2, 8, 8, 1)
+        s = svc.stats()
+        assert s["batches"] == 2  # two serving batches (warmup not counted)
+        assert s["padded_rows"] == 1 + 2
+
+
+def test_request_validation():
+    with _tiny_service() as svc:
+        with pytest.raises(ValueError):
+            svc.submit(labels=[1, 2, 3, 4, 5])  # > serve_batch
+        with pytest.raises(ValueError):
+            svc.submit()  # conditional model needs labels
+        with pytest.raises(ValueError):
+            svc.submit(labels=[99])  # label out of range
+        with pytest.raises(ValueError):
+            svc.submit(labels=[1, 2], n=1)  # n mismatch
+    with _tiny_service(conditional=False) as svc:
+        with pytest.raises(ValueError):
+            svc.submit(labels=[1])  # unconditional takes no labels
+        out = svc.sample(n=2, seed=0, timeout=120)
+        assert out.shape == (2, 8, 8, 1)
+
+
+def test_closed_service_rejects_and_fails_pending():
+    svc = _tiny_service()
+    svc.close()
+    with pytest.raises(RuntimeError):
+        svc.submit(labels=[0])
+
+
+def test_encoding_roundtrip():
+    imgs = np.linspace(-1, 1, 2 * 8 * 8 * 1, dtype=np.float32).reshape(
+        2, 8, 8, 1
+    )
+    for enc in ("b64npz", "list"):
+        payload = {"images": _encode(imgs, enc)}
+        np.testing.assert_allclose(decode_images(payload), imgs, rtol=1e-6)
+
+
+def test_http_server_end_to_end():
+    with _tiny_service(serve_batch=2, linger_ms=20.0) as svc:
+        server = make_server(svc, port=0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        try:
+            with urllib.request.urlopen(f"{base}/healthz", timeout=60) as r:
+                assert json.load(r)["ok"] is True
+
+            body = json.dumps(
+                {"labels": [1], "seed": 5, "encoding": "b64npz"}
+            ).encode()
+            req = urllib.request.Request(
+                f"{base}/sample", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                payload = json.load(r)
+            assert payload["shape"] == [1, 8, 8, 1]
+            imgs = decode_images(payload)
+            assert imgs.shape == (1, 8, 8, 1)
+            assert np.isfinite(imgs).all()
+
+            with urllib.request.urlopen(f"{base}/stats", timeout=60) as r:
+                stats = json.load(r)
+            assert stats["requests"] >= 1 and stats["batches"] >= 1
+
+            # bad request -> 400, not a hung connection
+            bad = urllib.request.Request(
+                f"{base}/sample",
+                data=json.dumps({"labels": [999]}).encode(), method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=60)
+            assert ei.value.code == 400
+        finally:
+            server.shutdown()
+
+
+def test_serve_cli_builds_service(tmp_path):
+    # drive scripts/serve.py's builder end-to-end on CPU with a tiny
+    # custom model config + npz checkpoint (no HTTP, no warmup loop)
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import importlib
+
+    serve = importlib.import_module("serve")
+
+    from nicediffusion_tpu.utils.checkpoint import save_params_npz
+
+    model = DiffusionModel(
+        resolution=8, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+        num_heads=2, num_classes=None, dropout=0.0,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+        jnp.zeros((1,), jnp.int32), None,
+    )["params"]
+    ckpt = tmp_path / "tiny.npz"
+    save_params_npz(params, str(ckpt))
+
+    svc, args = serve.build_service([
+        "--model_path", str(ckpt), "--custom", "--batch_size", "2",
+        "--resolution", "8", "--model_channels", "32",
+        "--channel_mult", "1/2", "--num_res_blocks", "1",
+        "--attention_resolutions", "4", "--num_heads", "2",
+        "--in_channels", "3", "--rescaled_num_steps", "3",
+        "--original_num_steps", "12", "--sampling_var_type",
+        "learned_interpolation", "--beta_schedule", "linear",
+        "--cpu", "--no_warmup", "--linger_ms", "10",
+    ])
+    with svc:
+        assert args.port == 8000
+        out = svc.sample(n=1, seed=0, timeout=300)
+        assert out.shape == (1, 8, 8, 3)
