@@ -6,7 +6,10 @@ Prints exactly ONE JSON line:
 
 Configuration (env overrides):
   BENCH_STEPS   sampling steps (default 250, the 250-step DDPM metric)
-  BENCH_BATCH   per-chip batch size (default 32)
+  BENCH_BATCH   per-chip batch size (default 64 — re-swept round 3 under
+                the int8 serving point: 32/48/64 -> 1.557/1.539/1.666
+                samples/sec int8, and the bf16 control also prefers 64
+                same-day, 1.170 vs 1.145; BASELINE.md)
   BENCH_CFG     1 = classifier-free guidance (doubled-batch UNet), default 1
   BENCH_DTYPE   int8 (default: the calibrated static-scale int8 serving
                 path — the production serving configuration, reported with
@@ -86,7 +89,7 @@ def _time_denoise(diffusion, params, rng, y, batch, enc_cache, runs, gi=None):
 
 def main():
     steps = int(os.environ.get("BENCH_STEPS", 250))
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    batch = int(os.environ.get("BENCH_BATCH", 64))
     use_cfg = os.environ.get("BENCH_CFG", "1") == "1"
     dtype_flag = os.environ.get("BENCH_DTYPE", "int8")
     quantized = dtype_flag == "int8"
