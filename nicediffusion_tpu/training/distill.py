@@ -1,5 +1,9 @@
-"""Progressive distillation — halve sampling steps by training a student
-to match two teacher DDIM steps (Salimans & Ho, arXiv:2202.00512).
+"""Distillation for fast serving: guided (stage 1) + progressive (stage 2).
+
+`GuidedDistiller` bakes classifier-free guidance into a single-forward
+student (Meng et al., arXiv:2210.03142) — removing the 2x CFG cost per
+step; `ProgressiveDistiller` then halves sampling steps by training a
+student to match two teacher DDIM steps (Salimans & Ho, arXiv:2202.00512).
 
 Capability extension with no reference analogue (the reference has no
 fast-sampling story at all); complements the exact DPM-Solver++ sampler:
@@ -44,7 +48,12 @@ import optax
 
 from ..diffusion.process import Diffusion
 
-__all__ = ["DistillState", "ProgressiveDistiller", "make_student_diffusion"]
+__all__ = [
+    "DistillState",
+    "GuidedDistiller",
+    "ProgressiveDistiller",
+    "make_student_diffusion",
+]
 
 
 class DistillState(flax.struct.PyTreeNode):
@@ -70,6 +79,143 @@ def make_student_diffusion(model, diffusion_args: dict, teacher: Diffusion):
         timestep_indices=student_indices,
     )
     return Diffusion(model=model, **args)
+
+
+class GuidedDistiller:
+    """Stage-1 guided distillation (Meng et al., arXiv:2210.03142 §3.1):
+    train a SINGLE-forward conditional student to match the classifier-
+    free-guided teacher — the fused doubled-batch call plus CFG combine at
+    strength ``guidance_strength`` — on the same timestep grid.
+
+    This is the structural fix for the 2x CFG serving cost: the returned
+    student samples **unguided** (one model forward per step, guidance
+    baked into the weights), is drop-in for every sampler (ddim/dpm++/
+    ddpm — eps only; like stage 2, learned-variance channels receive no
+    signal, so sample distilled students deterministically), and is the
+    correct teacher for `ProgressiveDistiller` — whose guidance-stripping
+    (previously a documented quality loss, tools/quality_eval.py distill
+    row) becomes exact once guidance lives in the weights.
+
+    Loss: x0-space truncated-SNR MSE against the guided teacher's implied
+    x^0 at a uniformly drawn rescaled step (same weighting as stage 2,
+    paper App. E). The student initialises from the teacher.
+    """
+
+    def __init__(
+        self,
+        model,
+        teacher_params,
+        diffusion_args: dict,
+        dataloader: Iterator,
+        iterations: int,
+        guidance_strength: float,
+        lr: float = 1e-4,
+        weight_decay: float = 0.0,
+        ema_rate: float = 0.9999,
+        seed: int = 0,
+    ):
+        assert model.conditional, (
+            "guided distillation needs a class-conditional model "
+            "(the CFG teacher calls the null class internally)"
+        )
+        t_args = dict(diffusion_args)
+        t_args.update(
+            guidance_method="classifier_free",
+            guidance_strength=guidance_strength,
+            use_ddim=True, ddim_eta=0.0,
+        )
+        s_args = dict(diffusion_args)
+        s_args.update(
+            guidance_method=None, guidance_strength=None,
+            use_ddim=True, ddim_eta=0.0,
+        )
+        self.model = model
+        self.teacher = Diffusion(model=model, **t_args)
+        self.student = Diffusion(model=model, **s_args)
+        self.teacher_params = teacher_params
+        self.loader = dataloader
+        self.iterations = iterations
+        self.rng = jax.random.PRNGKey(seed)
+
+        self.optimizer = optax.adamw(lr, b1=0.9, b2=0.999,
+                                     weight_decay=weight_decay)
+        self.ema_rate = ema_rate
+        params = jax.tree.map(lambda p: jnp.array(p), teacher_params)
+        self.state = DistillState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=jax.tree.map(jnp.copy, params),
+        )
+        self._step_fn = self._build_step()
+
+    def _build_step(self):
+        def loss_fn(params, teacher_params, x0, y, j, noise):
+            z = self.student.q_sample(x0, j, noise)
+            nd = z.ndim
+            a = jnp.sqrt(
+                jnp.take(self.teacher._acp, j)
+            ).reshape((-1,) + (1,) * (nd - 1))
+            s = jnp.sqrt(
+                1 - jnp.take(self.teacher._acp, j)
+            ).reshape((-1,) + (1,) * (nd - 1))
+
+            eps_t, _ = self.teacher._guided_eps(
+                teacher_params, z, j, y, want_log_var=False
+            )
+            target = jax.lax.stop_gradient((z - s * eps_t) / a)
+
+            eps_s, _ = self.student._guided_eps(
+                params, z, j, y, want_log_var=False
+            )
+            x0_s = (z - s * eps_s) / a
+
+            w = jnp.maximum(a**2 / s**2, 1.0)  # truncated SNR (App. E)
+            return jnp.mean(w * (x0_s - target) ** 2)
+
+        def step(state: DistillState, teacher_params, batch, labels, rng):
+            j_rng, n_rng = jax.random.split(rng)
+            j = jax.random.randint(
+                j_rng, (batch.shape[0],), 0,
+                self.student.rescaled_num_steps,
+            )
+            noise = jax.random.normal(n_rng, batch.shape, dtype=batch.dtype)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, teacher_params, batch, labels, j, noise
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            r = self.ema_rate
+            ema = jax.tree.map(
+                lambda e, p: r * e + (1 - r) * p, state.ema_params, params
+            )
+            return (
+                DistillState(state.step + 1, params, opt_state, ema),
+                {"loss": loss, "grad_norm": optax.global_norm(grads)},
+            )
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def run(self, log_every: int | None = None):
+        """Train; returns (student_params, student_diffusion). Same
+        live-params (not EMA) convention as ProgressiveDistiller.run."""
+        for it in range(self.iterations):
+            batch, labels = next(self.loader)
+            batch = jnp.asarray(batch)
+            assert labels is not None, "guided distillation needs labels"
+            labels = jnp.asarray(labels)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self._step_fn(
+                self.state, self.teacher_params, batch, labels, step_rng
+            )
+            if log_every and (it + 1) % log_every == 0:
+                print(
+                    f"guided-distill step {it + 1}/{self.iterations}: "
+                    f"loss={float(metrics['loss']):.5f}"
+                )
+        return self.state.params, self.student
 
 
 class ProgressiveDistiller:

@@ -1,14 +1,17 @@
-"""Progressive distillation CLI — halve a model's sampling steps N times.
+"""Distillation CLI — guided (stage 1) and/or progressive step-halving.
 
-Capability extension (no reference analogue; Salimans & Ho 2202.00512, see
-training/distill.py for the math). Each round trains a student initialised
-from the teacher to match two teacher DDIM steps in one, then the student
-becomes the next round's teacher.
+Capability extension (no reference analogue). `--distill_guidance [W]`
+first bakes classifier-free guidance into a single-forward student (Meng
+et al. 2210.03142 — halves the per-step serving cost); each `--rounds`
+halving round then trains a student initialised from the teacher to match
+two teacher DDIM steps in one (Salimans & Ho 2202.00512, see
+training/distill.py for the math).
 
 Usage:
   python scripts/distill.py --model_path 64x64_diffusion.pt \
-      [--rounds 2] [--iterations 2000] [--lr 1e-4] [--batch_size 32] \
-      [--data images.npz] [--save_path distilled.npz] [--cpu] [-w]
+      [--distill_guidance [W]] [--rounds 2] [--iterations 2000] \
+      [--lr 1e-4] [--batch_size 32] [--data images.npz] \
+      [--save_path distilled.npz] [--cpu] [-w]
 
 Data: an .npz with 'images' (+ 'labels' for conditional models), or
 synthetic smooth images as a smoke fallback. The distilled checkpoint
@@ -41,6 +44,21 @@ def main():
     p.add_argument("--prediction_type", type=str, default="eps",
                    choices=("eps", "v"),
                    help="model output convention of the teacher checkpoint")
+    p.add_argument("--distill_guidance", type=float, nargs="?", const=-1.0,
+                   default=None, metavar="W",
+                   help="stage-1 guided distillation (arXiv:2210.03142): "
+                        "first bake classifier-free guidance at strength W "
+                        "into a single-forward student (halves the serving "
+                        "cost per step), then run the halving rounds on it. "
+                        "Bare flag uses the preset's guidance_strength; "
+                        "requires a classifier-free checkpoint (null class "
+                        "0). With --rounds 0, runs stage 1 alone.")
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="override the preset's class count (the reference's "
+                        "EMNIST trainer used 28 = 27 letters + CFG null "
+                        "while its preset says 27 — README 'Deliberate "
+                        "divergences' #5; checkpoints trained that way need "
+                        "--num_classes 28 here, as in the sampling CLI)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-w", "--wordy", action="store_true")
     args = p.parse_args()
@@ -52,11 +70,16 @@ def main():
     import jax.numpy as jnp
 
     from nicediffusion_tpu.models.unet import DiffusionModel
-    from nicediffusion_tpu.training.distill import ProgressiveDistiller
+    from nicediffusion_tpu.training.distill import (
+        GuidedDistiller,
+        ProgressiveDistiller,
+    )
     from nicediffusion_tpu.utils.checkpoint import load_params, save_params_npz
     from nicediffusion_tpu.utils.config import preset_for_path
 
     model_args, diff_args = preset_for_path(args.model_path)
+    if args.num_classes is not None:
+        model_args["num_classes"] = args.num_classes
     dtype = jnp.float32 if args.cpu else jnp.bfloat16
     model = DiffusionModel(**model_args, dtype=dtype)
     params = jax.tree.map(jnp.asarray, load_params(args.model_path))
@@ -87,8 +110,9 @@ def main():
             idx = rng.integers(0, len(images), size=(args.batch_size,))
             yield images[idx], (labels[idx] if labels is not None else None)
 
-    if args.rounds < 1:
-        sys.exit("error: --rounds must be >= 1")
+    if args.rounds < 1 and args.distill_guidance is None:
+        sys.exit("error: --rounds must be >= 1 (0 only with "
+                 "--distill_guidance for a stage-1-only run)")
     steps = args.steps or diff_args["rescaled_num_steps"]
     student = None
     # round r's teacher grid: the preset/--steps even respacing for round 1,
@@ -97,6 +121,40 @@ def main():
     # trained on (grids do not nest across eq.-19 respacings)
     teacher_args = dict(diff_args, rescaled_num_steps=steps,
                         prediction_type=args.prediction_type)
+
+    if args.distill_guidance is not None:
+        # stage 1: bake CFG into a single conditional forward. The null
+        # class (label 0) must exist, i.e. a classifier-free checkpoint.
+        if n_cls is None:
+            sys.exit("error: --distill_guidance needs a conditional model")
+        if args.distill_guidance >= 0:
+            w = args.distill_guidance
+        elif diff_args.get("guidance_strength") is not None:
+            w = diff_args["guidance_strength"]
+        else:
+            sys.exit("error: preset has no guidance_strength; pass an "
+                     "explicit --distill_guidance W")
+        if diff_args.get("guidance_method") != "classifier_free":
+            print(
+                "warning: preset is not classifier_free — label 0 will be "
+                "treated as the CFG null class during stage 1"
+            )
+        if args.wordy:
+            print(f"Stage 1: guided distillation at w={w} "
+                  f"({args.iterations} iterations, {steps} steps)")
+        gd = GuidedDistiller(
+            model=model,
+            teacher_params=params,
+            diffusion_args=teacher_args,
+            dataloader=loader(),
+            iterations=args.iterations,
+            guidance_strength=w,
+            lr=args.lr,
+            seed=args.seed + 10_000,
+        )
+        params, student = gd.run(
+            log_every=max(args.iterations // 10, 1) if args.wordy else None
+        )
     for r in range(args.rounds):
         if steps % 2:
             sys.exit(f"error: cannot halve odd step count {steps}")

@@ -175,3 +175,135 @@ def test_cli_timestep_indices_flag():
     np.testing.assert_array_equal(
         np.asarray(diff.timestep_map), [60, 140, 220, 300]
     )
+
+
+# ---------------------------------------------------------------------------
+# Stage-1 guided distillation (Meng et al. 2210.03142; GuidedDistiller)
+# ---------------------------------------------------------------------------
+
+TINY_COND = dict(TINY, num_classes=5)
+
+
+def _cond_setup(seed=0):
+    model = DiffusionModel(**TINY_COND)
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 8, 8, 1)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )["params"]
+    # jitter away the zero-initialised output convs: a fresh UNet predicts
+    # exactly 0 for every input, which would make the guided teacher and
+    # the conditional student trivially identical at any strength
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 100), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
+        for p, k in zip(leaves, keys)
+    ])
+    rng = np.random.default_rng(seed)
+    data = (0.6 * np.sin(
+        np.linspace(0, 3, 8)[None, :, None, None]
+        + rng.uniform(0, 6, size=(64, 1, 1, 1))
+    )).astype(np.float32) * np.ones((1, 1, 8, 1), np.float32)
+    labels = rng.integers(1, 5, size=(64,))  # 0 is the CFG null class
+
+    def loader():
+        while True:
+            idx = rng.integers(0, 64, size=(8,))
+            yield data[idx], labels[idx]
+
+    return model, params, loader
+
+
+def test_guided_distill_zero_strength_loss_is_zero():
+    """At w=0 the guided teacher IS the conditional single forward, and the
+    student initialises from the teacher — so the stage-1 loss must be ~0
+    at init. Sharp check that the target/student paths agree exactly."""
+    from nicediffusion_tpu.training.distill import GuidedDistiller
+
+    model, params, loader = _cond_setup()
+    gd = GuidedDistiller(
+        model=model, teacher_params=params, diffusion_args=DARGS,
+        dataloader=loader(), iterations=1, guidance_strength=0.0, seed=3,
+    )
+    batch, labels = next(gd.loader)
+    gd.rng, step_rng = jax.random.split(gd.rng)
+    _, metrics = gd._step_fn(
+        gd.state, gd.teacher_params, jnp.asarray(batch),
+        jnp.asarray(labels), step_rng,
+    )
+    assert float(metrics["loss"]) < 1e-8
+
+
+def test_guided_distill_round_end_to_end():
+    """Nonzero w: initial loss > 0 (guided teacher != conditional student),
+    training reduces it, and the returned student samples UNGUIDED on the
+    full grid (1 forward/step, same rescaled_num_steps as the teacher)."""
+    from nicediffusion_tpu.training.distill import GuidedDistiller
+
+    model, params, loader = _cond_setup(seed=1)
+    gd = GuidedDistiller(
+        model=model, teacher_params=params, diffusion_args=DARGS,
+        dataloader=loader(), iterations=30, guidance_strength=2.0,
+        lr=3e-4, seed=4,
+    )
+    assert gd.student.guidance is None
+    assert gd.student.rescaled_num_steps == gd.teacher.rescaled_num_steps
+
+    losses = []
+    orig_step = gd._step_fn
+
+    def tracked(*a):
+        s, m = orig_step(*a)
+        losses.append(float(m["loss"]))
+        return s, m
+
+    gd._step_fn = tracked
+    student_params, student = gd.run()
+    assert np.isfinite(losses).all()
+    assert losses[0] > 1e-5  # guided teacher differs from the student
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+    y = jnp.asarray([1, 2], jnp.int32)
+    out = student.denoise(
+        student_params, jax.random.PRNGKey(5), y=y, batch_size=2
+    )
+    assert out.shape == (2, 8, 8, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_guided_then_progressive_chain():
+    """Stage 1's student is a valid stage-2 teacher: the halving round's
+    guidance-stripping is exact once guidance lives in the weights."""
+    from nicediffusion_tpu.training.distill import (
+        GuidedDistiller,
+        ProgressiveDistiller,
+    )
+
+    model, params, loader = _cond_setup(seed=2)
+    gd = GuidedDistiller(
+        model=model, teacher_params=params, diffusion_args=DARGS,
+        dataloader=loader(), iterations=3, guidance_strength=0.8, seed=6,
+    )
+    s1_params, _ = gd.run()
+
+    pd = ProgressiveDistiller(
+        model=model, teacher_params=s1_params, diffusion_args=DARGS,
+        dataloader=loader(), iterations=3, seed=7,
+    )
+    s2_params, s2 = pd.run()
+    assert s2.rescaled_num_steps == DARGS["rescaled_num_steps"] // 2
+    y = jnp.asarray([1], jnp.int32)
+    out = s2.denoise(s2_params, jax.random.PRNGKey(8), y=y, batch_size=1)
+    assert out.shape == (1, 8, 8, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_guided_distill_requires_conditional_model():
+    from nicediffusion_tpu.training.distill import GuidedDistiller
+
+    model = DiffusionModel(**TINY)  # unconditional
+    with pytest.raises(AssertionError):
+        GuidedDistiller(
+            model=model, teacher_params={}, diffusion_args=DARGS,
+            dataloader=iter(()), iterations=1, guidance_strength=0.8,
+        )

@@ -246,7 +246,7 @@ def main():
         return np.concatenate(outs, 0)
 
     wanted = set(
-        os.environ.get("QE_MODES", "enc,gi,int8,distill").split(",")
+        os.environ.get("QE_MODES", "enc,gi,int8,distill,gdistill").split(",")
     )
     modes = {}
     exact_diff = Diffusion(model=model, **samp_args)
@@ -310,6 +310,27 @@ def main():
             log_every=max(int(os.environ.get("QE_DISTILL_STEPS", 400)) // 4, 1)
         )
         modes["distill125_unguided"] = sample_mode(student_diff, student_params)
+
+    if "gdistill" in wanted:
+        # stage-1 GUIDED distillation (arXiv:2210.03142): bake w=0.8 CFG
+        # into a single conditional forward, then sample the full 250-step
+        # chain unguided — directly comparable to the CFG rows above
+        # (same chain, same conditioning target, half the model calls).
+        from nicediffusion_tpu.training.distill import GuidedDistiller
+
+        gsteps = int(os.environ.get("QE_GDISTILL_STEPS",
+                                    os.environ.get("QE_DISTILL_STEPS", 400)))
+        print(f"guided distillation ({gsteps} steps, w=0.8 -> 1 fwd/step)...")
+        gd = GuidedDistiller(
+            model, ema_params,
+            dict(DIFF_TRAIN_ARGS, rescaled_num_steps=250),
+            shifted_synthetic(batch, seed=4),
+            iterations=gsteps,
+            guidance_strength=0.8,
+            lr=1e-4,
+        )
+        g_params, g_diff = gd.run(log_every=max(gsteps // 4, 1))
+        modes["gdistill250_1fwd"] = sample_mode(g_diff, g_params)
 
     # real-data reference features
     gen = shifted_synthetic(eval_n, seed=9)
