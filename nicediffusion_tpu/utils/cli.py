@@ -176,7 +176,10 @@ def make_argparser(prog: str) -> argparse.ArgumentParser:
                    metavar=o if is_sample else r,
                    help="'simple', 'KL', 'KL_rescaled', or 'hybrid'")
     d.add_argument("--guidance_method", type=str, default=None, metavar=o,
-                   help="'classifier' or 'classifier_free'")
+                   help="'classifier', 'classifier_free', or 'none' "
+                        "(explicitly disable the preset's guidance — "
+                        "required when sampling guided-distilled "
+                        "checkpoints, whose weights already bake CFG in)")
     d.add_argument("--guidance_strength", type=float, default=None, metavar=o)
     d.add_argument("--classifier_path", type=str, default=None, metavar=o)
     return parser
@@ -215,6 +218,13 @@ def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
         diff_args["timestep_indices"] = [
             int(i) for i in str(diff_args["timestep_indices"]).split("/")
         ]
+    # user-explicit guidance_method ('none' disables) must survive preset
+    # dispatch: guided-distilled checkpoints bake CFG into the weights, so
+    # the preset's classifier_free would silently double-guide them
+    # (scripts/distill.py prints the '--guidance_method none' hint)
+    user_gm = diff_args.get("guidance_method")
+    if user_gm == "none":
+        diff_args["guidance_method"] = None
     # --dynamic_thresholding <p> -> clip_x='dynamic' (capability extension)
     dyn = other_args.pop("dynamic_thresholding", None)
     if dyn is not None:
@@ -258,6 +268,12 @@ def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
             diff_args.update(d)
             if user_steps is not None:
                 diff_args["rescaled_num_steps"] = user_steps
+            if user_gm is not None:
+                diff_args["guidance_method"] = (
+                    None if user_gm == "none" else user_gm
+                )
+                if user_strength is not None:
+                    diff_args["guidance_strength"] = user_strength
             # classifier guidance must survive preset dispatch (the presets
             # carry their own guidance_method, which would silently disable
             # the user's --classifier_path; no reference precedent — it

@@ -115,6 +115,7 @@ def main():
                  "--distill_guidance for a stage-1-only run)")
     steps = args.steps or diff_args["rescaled_num_steps"]
     student = None
+    guided_w = None  # set when stage-1 guided distillation runs
     # round r's teacher grid: the preset/--steps even respacing for round 1,
     # then the PREVIOUS STUDENT'S exact nested grid — an even re-respacing
     # at N/2 would put later rounds on timesteps the student was never
@@ -155,6 +156,7 @@ def main():
         params, student = gd.run(
             log_every=max(args.iterations // 10, 1) if args.wordy else None
         )
+        guided_w = w
     for r in range(args.rounds):
         if steps % 2:
             sys.exit(f"error: cannot halve odd step count {steps}")
@@ -188,13 +190,21 @@ def main():
     indices = "/".join(str(int(i)) for i in np.asarray(student.timestep_map))
     import json
 
+    # guided=true means CFG is baked into the weights: sampling must NOT
+    # re-apply guidance (presets default to classifier_free, which would
+    # silently double-guide — hence the '--guidance_method none' hint)
     with open(args.save_path + ".distill.json", "w") as f:
-        json.dump({"steps": steps, "timestep_indices":
-                   [int(i) for i in np.asarray(student.timestep_map)]}, f)
-    print(
-        f"Distilled to {steps} steps -> {args.save_path}. Sample with:\n"
-        f"  --sampler ddim --timestep_indices {indices}"
-    )
+        json.dump({"steps": steps,
+                   "timestep_indices":
+                   [int(i) for i in np.asarray(student.timestep_map)],
+                   "guided": guided_w is not None,
+                   "guidance_strength": guided_w}, f)
+    hint = f"  --sampler ddim --timestep_indices {indices}"
+    if guided_w is not None:
+        hint += (" --guidance_method none"
+                 f"  # CFG (w={guided_w}) is baked into the weights")
+    print(f"Distilled to {steps} steps -> {args.save_path}. Sample with:\n"
+          + hint)
 
 
 if __name__ == "__main__":

@@ -176,3 +176,34 @@ def test_guidance_interval_flag_routes_to_other_args():
     assert "guidance_interval" not in d and "guidance_interval" not in m
     with pytest.raises(SystemExit):  # needs exactly two values
         p.parse_args(base + ["--guidance_interval", "0.5"])
+
+
+def test_guidance_method_none_survives_preset_dispatch():
+    """'--guidance_method none' must override the preset's classifier_free
+    (guided-distilled checkpoints bake CFG into the weights; re-applying the
+    preset's guidance would double-guide — ADVICE r3, scripts/distill.py's
+    sampling hint). No reference analogue: its preset mode ignores flags."""
+    argv = [
+        "--model_path", "EMNIST_distilled.npz", "--batch_size", "2",
+        "--num_samples", "1", "--guidance_method", "none",
+    ]
+    _, _, d = get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
+    assert d["guidance_method"] is None
+
+    # sanity: without the flag the preset's guidance stays on
+    argv_default = argv[:-2]
+    _, _, d2 = get_dicts_from_args(
+        make_argparser("diff_sample").parse_args(argv_default)
+    )
+    assert d2["guidance_method"] == "classifier_free"
+
+    # an explicit method also survives dispatch (with its strength); the
+    # pre-dispatch guidance=>conditional assert (reference utils.py:168-169)
+    # needs num_classes on the argv
+    argv_cf = argv[:-1] + ["classifier_free", "--guidance_strength", "2.5",
+                           "--num_classes", "27"]
+    _, _, d3 = get_dicts_from_args(
+        make_argparser("diff_sample").parse_args(argv_cf)
+    )
+    assert d3["guidance_method"] == "classifier_free"
+    assert d3["guidance_strength"] == 2.5
