@@ -81,14 +81,33 @@ class SamplerService:
         `ops.quant.build_int8_variables` for calibrated int8 serving.
     config:
         `ServingConfig`. ``serve_batch`` is the compiled batch shape.
+    mesh:
+        Optional `jax.sharding.Mesh` (from `parallel.mesh.make_mesh`).
+        When given, the service compiles its chain data-parallel: the
+        serve batch is sharded over the mesh's 'data' axis and params are
+        replicated, so a multi-chip host serves with every chip busy
+        instead of leaving all but the default device idle. serve_batch
+        must divide evenly over the data axis (the fixed compiled shape).
     """
 
-    def __init__(self, diffusion, params, config: ServingConfig | None = None):
+    def __init__(self, diffusion, params, config: ServingConfig | None = None,
+                 mesh=None):
         self.diffusion = diffusion
-        self.params = params
         self.config = config or ServingConfig()
         if self.config.serve_batch < 1:
             raise ValueError("serve_batch must be >= 1")
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+
+            n_data = mesh.shape["data"]
+            if self.config.serve_batch % n_data:
+                raise ValueError(
+                    f"serve_batch={self.config.serve_batch} must be a "
+                    f"multiple of the mesh 'data' axis size {n_data}"
+                )
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
 
         model = diffusion.model
         self._sample_shape = (
@@ -189,8 +208,8 @@ class SamplerService:
     def stats(self) -> dict:
         with self._cond:
             s = dict(self._stats)
-        s["warm"] = self._warm
-        s["queue_depth"] = len(self._queue)
+            s["warm"] = self._warm
+            s["queue_depth"] = len(self._queue)
         s["serve_batch"] = self.config.serve_batch
         if s["batches"]:
             served = s["samples"] + s["padded_rows"]
@@ -227,6 +246,12 @@ class SamplerService:
 
     def _denoise(self, x, y, rng):
         cfg = self.config
+        if self.mesh is not None:
+            from ..parallel.mesh import data_sharding
+
+            x = jax.device_put(x, data_sharding(self.mesh, x.ndim))
+            if y is not None:
+                y = jax.device_put(y, data_sharding(self.mesh, 1))
         return self.diffusion.denoise(
             self.params, rng, x=x, y=y, batch_size=x.shape[0],
             encoder_cache=cfg.encoder_cache,
@@ -265,7 +290,10 @@ class SamplerService:
     def _run(self):
         while True:
             batch = self._collect()
-            if batch is None:
+            if not batch:
+                # None: closed and drained. Empty list: close() raced the
+                # linger wait and drained/failed the queued requests — do
+                # NOT run a full chain on pure padding; just exit.
                 return
             try:
                 self._serve_batch(batch)

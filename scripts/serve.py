@@ -45,6 +45,18 @@ def build_service(argv=None):
                              "batch is flushed")
     parser.add_argument("--no_warmup", action="store_true", default=False,
                         help="skip the startup compile (first request pays it)")
+    parser.add_argument("--request_timeout", type=float, default=600.0,
+                        help="seconds an HTTP handler waits on its batch "
+                             "before failing the request with a 500 (bounds "
+                             "handler-thread pileup if the worker dies; "
+                             "default 600 — several chain durations)")
+    parser.add_argument("--serve_data_parallel", action="store_true",
+                        default=False,
+                        help="compile the serving chain data-parallel over "
+                             "all devices (serve batch sharded over the "
+                             "mesh 'data' axis, params replicated) — on a "
+                             "multi-chip host the daemon otherwise leaves "
+                             "every chip but the default one idle")
     # the daemon serves forever; --num_samples is meaningless but required
     # by the shared parser — accept it if given, default it otherwise
     args_in = list(sys.argv[1:] if argv is None else argv)
@@ -114,6 +126,14 @@ def build_service(argv=None):
                 save_params_npz(calib, calib_path)
             params = freeze_int8(model, params, calib, inputs[0])
 
+    mesh = None
+    if args.serve_data_parallel and len(jax.devices()) > 1:
+        from nicediffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        if wordy:
+            print(f"Serving data-parallel over {mesh.shape['data']} devices")
+
     gi = other_args.get("guidance_interval")
     service = SamplerService(
         diffusion, params,
@@ -124,6 +144,7 @@ def build_service(argv=None):
             guidance_interval=tuple(gi) if gi else None,
             rng_seed=other_args["seed"] or 0,
         ),
+        mesh=mesh,
     )
     if not args.no_warmup:
         if wordy:
@@ -136,7 +157,8 @@ def main():
     from nicediffusion_tpu.serving import make_server
 
     service, args = build_service()
-    server = make_server(service, host=args.host, port=args.port)
+    server = make_server(service, host=args.host, port=args.port,
+                         request_timeout=args.request_timeout)
     host, port = server.server_address
     print(f"serving on http://{host}:{port} "
           f"(batch {args.batch_size}, linger {args.linger_ms} ms)")
