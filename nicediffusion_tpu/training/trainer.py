@@ -257,7 +257,11 @@ class Trainer:
             os.makedirs(os.path.dirname(self.metrics_path) or ".", exist_ok=True)
             metrics_file = open(self.metrics_path, "a")
 
-        running_loss = 0.0
+        # Loss accumulates ON DEVICE (a lazy scalar add per step) and is
+        # fetched with float() only at log boundaries — a per-step float()
+        # is a host sync that stalls the dispatch pipeline (VERDICT r3 #5;
+        # measured on-chip in tools/train_probe.py).
+        running_loss = jnp.zeros(())
         running_count = 0
         t_last = time.time()
         start_step = int(self.state.step)
@@ -275,12 +279,12 @@ class Trainer:
                 if log_every is None and metrics_file is not None:
                     log_every = 10  # JSONL sink works without stdout printing
                 if log_every is not None:
-                    running_loss += float(metrics["loss"])
+                    running_loss = running_loss + metrics["loss"]
                     running_count += 1
                     if step % log_every == 0 or step == self.iterations - 1:
                         dt = time.time() - t_last
                         sps = running_count / dt if dt > 0 else 0.0
-                        avg = running_loss / max(running_count, 1)
+                        avg = float(running_loss) / max(running_count, 1)
                         if self.print_every is not None:
                             print(
                                 f"Step #{step}  ------------------------------"
@@ -299,7 +303,7 @@ class Trainer:
                                 + "\n"
                             )
                             metrics_file.flush()
-                        running_loss = 0.0
+                        running_loss = jnp.zeros(())
                         running_count = 0
                         t_last = time.time()
 
