@@ -97,6 +97,26 @@ def main():
     # recipe, reference scripts/train.py:24-36)
     if args.prediction_type != "eps":
         diff_args["prediction_type"] = args.prediction_type
+    # user-explicit model-group flags override the preset, so small custom
+    # models can be trained through the same driver (also keeps the
+    # default-suite CLI smoke cheap — tests/test_end_to_end.py). Flags
+    # whose parser default is None are "explicit iff given"; the boolean
+    # store_true flags keep the preset's values (they cannot distinguish
+    # explicit-False from default).
+    for key in ("resolution", "model_channels", "num_res_blocks",
+                "num_classes", "num_head_channels"):
+        v = getattr(args, key)
+        if v is not None:
+            model_args[key] = v
+    if args.channel_mult is not None:
+        model_args["channel_mult"] = tuple(
+            int(c) for c in args.channel_mult.split("/")
+        )
+    if args.attention_resolutions is not None:
+        s = args.attention_resolutions
+        model_args["attention_resolutions"] = (
+            tuple(int(c) for c in s.split("/")) if s else ()
+        )
 
     # null class for classifier-free guidance (reference train.py:39-40)
     if diff_args["guidance_method"] == "classifier_free":
