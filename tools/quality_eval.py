@@ -28,6 +28,19 @@ Usage:
                                           # enc, gi, int8, distill; the
                                           # int8+enc2+gi max-stack row runs
                                           # when int8 and gi/stack are on)
+  QE_EVAL_N=2048 QE_CHUNK=256 ...         # statistical power: accuracies
+                                          # are reported as mean +/- s.e.
+                                          # over eval_n/chunk independent
+                                          # chunks (distinct rng folds),
+                                          # Frechet with a jackknife s.e.
+  QE_GI_W=1.0,1.2,1.5 ...                 # guidance-strength re-tune inside
+                                          # the limited interval
+                                          # (arXiv:2404.07724 re-tunes w;
+                                          # adds gi and stack rows per W)
+  QE_ARCH=im64 ...                        # 64x64 config with attn@8/16/32
+                                          # (the benched preset's shape,
+                                          # reference default_args.py:15-21)
+                                          # instead of the 28x28 EMNIST one
 
 Results land in BASELINE.md's "Measured sample quality" table.
 """
@@ -53,12 +66,34 @@ from nicediffusion_tpu.training.trainer import Trainer
 
 NUM_CLASSES = 28  # 27 letter classes + null class 0 (reference default_args)
 
-MODEL_CFG = dict(
-    resolution=28, in_channels=1, model_channels=64, out_channels=2,
-    num_res_blocks=2, attention_resolutions=(7, 14), channel_mult=(1, 2, 4),
-    num_heads=4, num_classes=NUM_CLASSES, dropout=0.05,
-    use_adaptive_gn=True, resblock_updown=True, split_qkv_first=True,
-)
+# QE_ARCH selects the harness architecture:
+#   emnist (default) — the reference EMNIST shapes (default_args.py:4-10).
+#   im64 — 64x64 with attention at 8/16/32 like the benched ImageNet-64
+#     preset (reference default_args.py:15-21: mult 1/2/3/4, head_ch 64,
+#     3 res blocks), scaled to a harness-trainable width (ch 64, 2 blocks)
+#     so the lossy-mode neutrality deltas are measured at the headline
+#     model's RESOLUTION/attention structure instead of extrapolated
+#     from 28x28 (VERDICT r3 #8).
+ARCH = os.environ.get("QE_ARCH", "emnist")
+if ARCH == "emnist":
+    RESOLUTION = 28
+    MODEL_CFG = dict(
+        resolution=28, in_channels=1, model_channels=64, out_channels=2,
+        num_res_blocks=2, attention_resolutions=(7, 14), channel_mult=(1, 2, 4),
+        num_heads=4, num_classes=NUM_CLASSES, dropout=0.05,
+        use_adaptive_gn=True, resblock_updown=True, split_qkv_first=True,
+    )
+elif ARCH == "im64":
+    RESOLUTION = 64
+    MODEL_CFG = dict(
+        resolution=64, in_channels=1, model_channels=64, out_channels=2,
+        num_res_blocks=2, attention_resolutions=(8, 16, 32),
+        channel_mult=(1, 2, 3, 4), num_head_channels=32,
+        num_classes=NUM_CLASSES, dropout=0.0,
+        use_adaptive_gn=True, resblock_updown=True, split_qkv_first=False,
+    )
+else:
+    sys.exit(f"unknown QE_ARCH {ARCH!r} (emnist | im64)")
 
 DIFF_TRAIN_ARGS = dict(
     original_num_steps=1000, rescaled_num_steps=1000,
@@ -76,8 +111,8 @@ def shifted_synthetic(batch_size, seed=0):
     individual pool images (it is evaluated on a different seed's pool).
     """
     gen = synthetic_batches(
-        batch_size=batch_size, resolution=28, channels=1, num_classes=27,
-        seed=seed, num_distinct=512,
+        batch_size=batch_size, resolution=RESOLUTION, channels=1,
+        num_classes=27, seed=seed, num_distinct=512,
     )
     for x, y in gen:
         yield x, y + 1
@@ -112,9 +147,10 @@ def train_unet(steps, batch, dtype):
 
 
 CLS_CFG = dict(
-    resolution=28, in_channels=1, model_channels=32, out_channels=NUM_CLASSES,
-    num_res_blocks=1, attention_resolutions=(7,), channel_mult=(1, 2),
-    num_heads=2, pool="adaptive",
+    resolution=RESOLUTION, in_channels=1, model_channels=32,
+    out_channels=NUM_CLASSES, num_res_blocks=1,
+    attention_resolutions=(7,) if ARCH == "emnist" else (8,),
+    channel_mult=(1, 2), num_heads=2, pool="adaptive",
 )
 
 
@@ -189,7 +225,7 @@ def main():
         print(f"reusing trained params from {ckpt_path}...")
         model = DiffusionModel(**MODEL_CFG, dtype=dtype)
         cls_model = EncoderUNet(**CLS_CFG)
-        ex_x = jnp.zeros((1, 28, 28, 1), dtype)
+        ex_x = jnp.zeros((1, RESOLUTION, RESOLUTION, 1), dtype)
         ex_t = jnp.zeros((1,), jnp.int32)
         tmpl = {
             "ema": model.init(jax.random.PRNGKey(0), ex_x, ex_t, ex_t)[
@@ -224,6 +260,22 @@ def main():
             {"params": cls_params}, x, jnp.zeros((x.shape[0],), jnp.int32)
         )
 
+    def logits_np(images, per=256):
+        """Classifier logits in fixed-size chunks (one compiled shape; a
+        single eval_n=2048 batch at 64x64 would be a pointlessly large
+        one-shot program). The tail chunk is zero-padded to `per`."""
+        images = np.asarray(images, dtype=np.float32)
+        out = []
+        for i in range(0, len(images), per):
+            part = images[i:i + per]
+            n = len(part)
+            if n < per:
+                part = np.concatenate(
+                    [part, np.zeros((per - n, *part.shape[1:]), part.dtype)]
+                )
+            out.append(np.asarray(logits_of(jnp.asarray(part)))[:n])
+        return np.concatenate(out, 0)
+
     # sampling diffusion: forced 250-step DDPM like Trainer.sample
     samp_args = dict(
         DIFF_TRAIN_ARGS, rescaled_num_steps=min(sample_steps, 1000)
@@ -256,6 +308,9 @@ def main():
         print("sampling: encoder_cache 2/3...")
         modes["enc2"] = sample_mode(exact_diff, ema_params, enc_cache=2)
         modes["enc3"] = sample_mode(exact_diff, ema_params, enc_cache=3)
+    gi_w = [
+        float(w) for w in os.environ.get("QE_GI_W", "").split(",") if w
+    ]
     if "gi" in wanted:
         print("sampling: guidance_interval (0.1, 0.7) / (0.15, 0.55)...")
         modes["gi_0.1-0.7"] = sample_mode(
@@ -264,6 +319,18 @@ def main():
         modes["gi_0.15-0.55"] = sample_mode(
             exact_diff, ema_params, gi=(0.15, 0.55)
         )
+        # guidance-strength re-tune INSIDE the interval: the interval paper
+        # (arXiv:2404.07724) reaches its FID-improving operating point by
+        # raising w when guidance only acts mid-chain; holding the
+        # always-on w fixed under-drives the conditioning (VERDICT r3 #1)
+        for w in gi_w:
+            print(f"sampling: gi (0.1, 0.7) at re-tuned w={w}...")
+            dw = Diffusion(
+                model=model, **dict(samp_args, guidance_strength=w)
+            )
+            modes[f"gi_0.1-0.7_w{w}"] = sample_mode(
+                dw, ema_params, gi=(0.1, 0.7)
+            )
 
     if "int8" in wanted:
         print("sampling: int8-static (calibrated)...")
@@ -289,6 +356,14 @@ def main():
             modes["stack_int8_enc2_gi"] = sample_mode(
                 diff_q, serving, enc_cache=2, gi=(0.1, 0.7)
             )
+            for w in gi_w:
+                print(f"sampling: max stack at re-tuned w={w}...")
+                dqw = Diffusion(
+                    model=model_q, **dict(samp_args, guidance_strength=w)
+                )
+                modes[f"stack_int8_enc2_gi_w{w}"] = sample_mode(
+                    dqw, serving, enc_cache=2, gi=(0.1, 0.7)
+                )
 
     if "distill" in wanted and os.environ.get("QE_DISTILL", "1") == "1":
         # one progressive-distillation halving round: 250-step DDIM teacher
@@ -335,7 +410,7 @@ def main():
     # real-data reference features
     gen = shifted_synthetic(eval_n, seed=9)
     x_real, y_real = next(gen)
-    real_logits = np.asarray(logits_of(jnp.asarray(x_real)))
+    real_logits = logits_np(x_real)
 
     # pixel-space class prototypes from real data (diagnostic secondary
     # metric: nearest-prototype accuracy is classifier-free evidence of
@@ -346,32 +421,81 @@ def main():
         for c in range(1, 28)
     ])
 
-    def proto_acc(samples):
-        d = (
-            (samples.reshape(len(samples), -1)[:, None, :] - protos[None])
-            ** 2
-        ).sum(-1)
-        return float((d.argmin(1) + 1 == np.asarray(y_eval)).mean())
+    def proto_dists(images):
+        """[N, 27] squared distances to the class prototypes, via the
+        matmul identity (the naive [N, 27, pixels] broadcast is ~1 GB at
+        eval_n=2048 on the 64x64 arch)."""
+        flat = images.reshape(len(images), -1).astype(np.float64)
+        return (
+            (flat ** 2).sum(1)[:, None]
+            - 2.0 * flat @ protos.T
+            + (protos ** 2).sum(1)[None]
+        )
+
+    # ---- statistics (VERDICT r3 #3: error bars, not point estimates) ----
+    # eval_n samples split into k = eval_n // chunk independent chunks
+    # (each chunk was sampled under its own rng fold in sample_mode); a
+    # mean +/- s.e. over chunks makes the mode-vs-mode deltas testable
+    # against sampling noise instead of single 256-sample point reads.
+    chunk = min(int(os.environ.get("QE_CHUNK", 256)), eval_n)
+    k = eval_n // chunk
+    n_stat = k * chunk  # chunk statistics ignore any ragged remainder
+
+    def acc_stats(correct):
+        """(full-set acc, s.e. of the mean over k chunks)."""
+        full = float(correct.mean())
+        if k < 2:
+            return full, None
+        accs = np.asarray([
+            correct[i * chunk:(i + 1) * chunk].mean() for i in range(k)
+        ])
+        se = float(accs.std(ddof=1) / np.sqrt(k))
+        return full, se
+
+    def frechet_jackknife(lg):
+        """(full-set Frechet, leave-one-chunk-out jackknife s.e.)."""
+        fd = frechet(lg, real_logits)
+        if k < 2:
+            return fd, None
+        fds = []
+        for i in range(k):
+            mask = np.ones(len(lg), bool)
+            mask[i * chunk:(i + 1) * chunk] = False
+            fds.append(frechet(lg[mask], real_logits))
+        fds = np.asarray(fds)
+        se = float(np.sqrt((k - 1) / k * ((fds - fds.mean()) ** 2).sum()))
+        return fd, se
+
+    def rounded(x, nd=4):
+        return None if x is None else round(x, nd)
 
     results = {}
     for name, samples in modes.items():
-        lg = np.asarray(logits_of(jnp.asarray(samples, dtype=jnp.float32)))
-        acc = float((lg.argmax(-1) == np.asarray(y_eval)).mean())
-        fd = frechet(lg, real_logits)
+        lg = logits_np(samples)
+        acc, acc_se = acc_stats(lg.argmax(-1) == np.asarray(y_eval))
+        fd, fd_se = frechet_jackknife(lg)
+        d = proto_dists(samples)
+        p_acc, p_se = acc_stats(d.argmin(1) + 1 == np.asarray(y_eval))
         dev = np.abs(samples - modes["exact"])
         results[name] = {
             "classifier_acc": round(acc, 4),
-            "proto_acc": round(proto_acc(samples), 4),
+            "classifier_acc_se": rounded(acc_se),
+            "proto_acc": round(p_acc, 4),
+            "proto_acc_se": rounded(p_se),
             "logit_frechet_vs_real": round(fd, 4),
+            "logit_frechet_se": rounded(fd_se, 2),
             "max_pixel_dev_vs_exact": round(float(dev.max()), 4),
             "mean_pixel_dev_vs_exact": round(float(dev.mean()), 5),
         }
         print(json.dumps({"mode": name, **results[name]}))
+    if k >= 2:
+        print(json.dumps({
+            "stats": {"eval_n": eval_n, "chunks": k, "chunk_size": chunk,
+                      "n_in_chunk_stats": n_stat}
+        }))
 
     real_acc = float((real_logits.argmax(-1) == np.asarray(y_real)).mean())
-    d_real = (
-        (x_real.reshape(len(x_real), -1)[:, None, :] - protos[None]) ** 2
-    ).sum(-1)
+    d_real = proto_dists(x_real)
     real_proto = float((d_real.argmin(1) + 1 == np.asarray(y_real)).mean())
     print(json.dumps({"mode": "real_data", "classifier_acc": round(real_acc, 4),
                       "proto_acc": round(real_proto, 4),
