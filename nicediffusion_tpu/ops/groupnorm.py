@@ -46,6 +46,18 @@ def _pallas_enabled() -> bool:
         return False
 
 
+def _check_groups(c: int, num_groups: int) -> None:
+    if c % num_groups:
+        # same constraint as the reference's GroupNorm32(32, channels)
+        # (reference model.py normalization); fail with the cause instead
+        # of an opaque reshape error downstream
+        raise ValueError(
+            f"GroupNorm: channels {c} not divisible by num_groups "
+            f"{num_groups} (model_channels * channel_mult must be "
+            f"multiples of 32 at every level, like the reference)"
+        )
+
+
 def _group_stats(x: jax.Array, num_groups: int):
     b, h, w, c = x.shape
     xg = x.astype(jnp.float32).reshape(b, h * w, num_groups, c // num_groups)
@@ -130,6 +142,7 @@ def group_norm(
 ) -> jax.Array:
     """Plain GroupNorm over NHWC, channel groups laid out torch-style
     (channel c belongs to group c // (C/G))."""
+    _check_groups(x.shape[-1], num_groups)
     if _pallas_enabled():
         return _fused_gn(num_groups, float(eps), False, False, _interpret())(
             x, scale, bias
@@ -145,6 +158,7 @@ def group_norm_silu(
     eps: float = 1e-5,
 ) -> jax.Array:
     """GroupNorm followed by SiLU, fused (reference model.py:190)."""
+    _check_groups(x.shape[-1], num_groups)
     if _pallas_enabled():
         return _fused_gn(num_groups, float(eps), True, False, _interpret())(
             x, scale, bias
@@ -166,6 +180,7 @@ def ada_group_norm_silu(
 
     Matches reference model.py:199-203 followed by the SiLU at model.py:207.
     """
+    _check_groups(x.shape[-1], num_groups)
     if _pallas_enabled():
         return _fused_gn(num_groups, float(eps), True, True, _interpret())(
             x, scale, bias, emb_scale, emb_shift

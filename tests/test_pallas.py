@@ -245,3 +245,22 @@ def test_bwd_kernel_covers_non_tile_multiple_sequences():
             )
     finally:
         os.environ.pop("NICEDIFFUSION_PALLAS_INTERPRET", None)
+
+
+def test_groupnorm_rejects_indivisible_channels():
+    """channels % num_groups != 0 must fail with an actionable ValueError
+    (the same constraint as the reference's GroupNorm32(32, channels)),
+    not an opaque downstream reshape error."""
+    from nicediffusion_tpu.ops import groupnorm as gn
+
+    x = jnp.zeros((1, 8, 8, 16))
+    for fn in (
+        lambda: gn.group_norm(x, jnp.ones(16), jnp.zeros(16)),
+        lambda: gn.group_norm_silu(x, jnp.ones(16), jnp.zeros(16)),
+        lambda: gn.ada_group_norm_silu(
+            x, jnp.ones(16), jnp.zeros(16),
+            jnp.zeros((1, 16)), jnp.zeros((1, 16)),
+        ),
+    ):
+        with pytest.raises(ValueError, match="not divisible by num_groups"):
+            fn()
