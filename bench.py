@@ -28,6 +28,15 @@ Configuration (env overrides):
   BENCH_MAX_STACK  1 (default, int8 headline runs only): also time every
                 lossy lever composed (int8 + enc_cache 2 + gi 0.1-0.7) and
                 carry it as max_stack_value / max_stack_vs_baseline
+  BENCH_DISTILLED  1 (default, int8 headline runs only): also time the
+                chain a guided-distilled student serves — ONE conditional
+                forward per step, CFG baked into the weights
+                (arXiv:2210.03142; training/distill.py GuidedDistiller,
+                quality measured by tools/quality_eval.py's gdistill row)
+                — on the same int8 static path, carried as
+                distilled_value / distilled_vs_baseline. vs_baseline keeps
+                the CFG reference denominator (2 calls/step): the task
+                served is guided sampling; the student does it in one call.
   BENCH_TRACE   set to a directory to capture a jax.profiler device trace
   BENCH_PRESET  model preset (default openai_64 — the headline metric;
                 EMNIST gives a CPU-feasible smoke of the whole bench
@@ -208,6 +217,22 @@ def main():
         )
         stack_sps = batch / stack_elapsed
 
+    # guided-distilled serving (default on, int8-headline runs only): the
+    # chain a stage-1 guided-distilled student runs — guidance_method=None,
+    # ONE conditional forward per step instead of the doubled CFG batch —
+    # over the same int8 static weights. Timing-only here (bench weights
+    # are synthetic); the student's QUALITY at a real training budget is
+    # the gdistill row in tools/quality_eval.py / BASELINE.md.
+    distilled_sps = None
+    if (quantized and use_cfg and enc_cache is None and gi is None
+            and os.environ.get("BENCH_DISTILLED", "1") == "1"):
+        dcfg_d = dict(dcfg, guidance_method=None, guidance_strength=None)
+        diffusion_d = Diffusion(model=model, **dcfg_d)
+        distilled_elapsed = _time_denoise(
+            diffusion_d, params, rng, y, batch, None, max(runs - 1, 1)
+        )
+        distilled_sps = batch / distilled_elapsed
+
     # per-sample FLOPs for the baseline estimate: cost of one UNet forward
     # (always the float params — the baseline denominator is the exact
     # model's FLOP count regardless of serving dtype)
@@ -279,6 +304,16 @@ def main():
         if ref_samples_per_sec:
             record["max_stack_vs_baseline"] = round(
                 stack_sps / ref_samples_per_sec, 4
+            )
+    if distilled_sps is not None:
+        # guided-distilled serving: 1 conditional forward/step on the int8
+        # path (CFG baked into the weights); vs_baseline keeps the CFG
+        # reference denominator — same task, half the model calls
+        record["distilled_value"] = round(distilled_sps, 4)
+        record["distilled_config"] = "int8+guided_distilled_1fwd"
+        if ref_samples_per_sec:
+            record["distilled_vs_baseline"] = round(
+                distilled_sps / ref_samples_per_sec, 4
             )
     print(json.dumps(record))
 
