@@ -210,9 +210,19 @@ def main():
     stack_cfg = None
     if (quantized and use_cfg and enc_cache is None and gi is None
             and os.environ.get("BENCH_MAX_STACK", "1") == "1"):
-        stack_cfg = "int8+enc_cache2+gi0.1-0.7"
+        # guidance strength w=1.5 inside the interval: the re-tuned
+        # operating point quality_eval measured neutral vs the exact chain
+        # (BASELINE.md round-4 quality table; holding the always-on w=0.8
+        # inside the interval measured -2.2pp conditioning). w does not
+        # change the timed compute — it is recorded for honesty of the
+        # config string.
+        stack_w = float(os.environ.get("BENCH_STACK_W", 1.5))
+        stack_cfg = f"int8+enc_cache2+gi0.1-0.7@w{stack_w:g}"
+        diffusion_s = Diffusion(
+            model=model, **dict(dcfg, guidance_strength=stack_w)
+        )
         stack_elapsed = _time_denoise(
-            diffusion, params, rng, y, batch, 2, max(runs - 1, 1),
+            diffusion_s, params, rng, y, batch, 2, max(runs - 1, 1),
             (0.1, 0.7),
         )
         stack_sps = batch / stack_elapsed
