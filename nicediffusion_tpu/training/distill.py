@@ -26,9 +26,21 @@ one-step target the student must hit is
     x~0 = (z'' - (sigma''/sigma_t) z_t) / (alpha'' - (sigma''/sigma_t) alpha_t)
 
 (the x0 a single DDIM step from t1 to the boundary would need to produce
-z''; eq. 7 of the paper), with loss w * ||x^0_student - x~0||^2,
-w = max(alpha_t^2/sigma_t^2, 1) (truncated SNR, paper App. E). At j = 0
-the boundary is alpha''=1, sigma''=0 and x~0 = z'' exactly.
+z''; eq. 7 of the paper). At j = 0 the boundary is alpha''=1, sigma''=0
+and x~0 = z'' exactly.
+
+Loss conditioning (``loss_space``): the paper's truncated-SNR x0-space
+loss w * ||x^0_s - x~0||^2 with w = max(alpha^2/sigma^2, 1) (App. E) is
+designed for x/v-parameterised students. For the EPS-parameterised
+students used here it is algebraically max(1, sigma^2/alpha^2) *
+||eps_s - eps_target||^2 — an eps-space gradient amplifier that reaches
+4.1e5 at the top of a 250-step cosine grid (16 of 250 grid points exceed
+100x), which measurably destabilised an 8000-step guided-distillation run
+(loss spike 1.34 -> 4.14; BASELINE.md round 4). The default is therefore
+``loss_space="eps"``: plain MSE on epsilon (uniform weight — the standard
+"simple loss" weighting), with ``"x0_snr"`` kept as the paper-faithful
+option. Both share the same minimiser per (z, j). Gradients are globally
+norm-clipped (``grad_clip``, default 1.0) either way.
 
 Learned-variance teachers work (DDIM ignores the variance channels), but
 the student's variance output receives no training signal — sample
@@ -61,6 +73,52 @@ class DistillState(flax.struct.PyTreeNode):
     params: Any
     opt_state: Any
     ema_params: Any
+
+
+def _make_optimizer(
+    lr: float,
+    weight_decay: float,
+    iterations: int,
+    grad_clip: float | None,
+    lr_schedule: str,
+):
+    """AdamW with optional global-norm clipping and warmup-cosine decay.
+
+    ``lr_schedule="constant"`` keeps the flat rate; ``"warmup_cosine"``
+    ramps linearly to ``lr`` then cosine-decays to 0.1*lr over the run —
+    the recipe used for real distillation budgets (tools/quality_eval.py)."""
+    if lr_schedule == "warmup_cosine":
+        warmup = min(200, max(iterations // 20, 1))
+        rate = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup,
+            decay_steps=max(iterations, warmup + 1), end_value=0.1 * lr,
+        )
+    elif lr_schedule == "constant":
+        rate = lr
+    else:
+        raise ValueError(
+            f"unknown lr_schedule {lr_schedule!r} (constant | warmup_cosine)"
+        )
+    tx = optax.adamw(rate, b1=0.9, b2=0.999, weight_decay=weight_decay)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+def _distill_loss(loss_space: str, eps_s, eps_target, a, s):
+    """MSE between student and target epsilon in the chosen space.
+
+    "eps": uniform-weight epsilon MSE (well-conditioned for the
+    eps-parameterised students here). "x0_snr": the paper's truncated-SNR
+    x0-space loss, equal to max(1, s^2/a^2) * eps-MSE per sample."""
+    if loss_space == "eps":
+        return jnp.mean((eps_s - eps_target) ** 2)
+    if loss_space == "x0_snr":
+        w = jnp.maximum(a**2 / s**2, 1.0)  # truncated SNR (App. E)
+        x0_s = -(s / a) * eps_s  # offsets cancel in the difference
+        x0_t = -(s / a) * eps_target
+        return jnp.mean(w * (x0_s - x0_t) ** 2)
+    raise ValueError(f"unknown loss_space {loss_space!r} (eps | x0_snr)")
 
 
 def make_student_diffusion(model, diffusion_args: dict, teacher: Diffusion):
@@ -96,9 +154,11 @@ class GuidedDistiller:
     (previously a documented quality loss, tools/quality_eval.py distill
     row) becomes exact once guidance lives in the weights.
 
-    Loss: x0-space truncated-SNR MSE against the guided teacher's implied
-    x^0 at a uniformly drawn rescaled step (same weighting as stage 2,
-    paper App. E). The student initialises from the teacher.
+    Loss: MSE against the guided teacher's epsilon at a uniformly drawn
+    rescaled step (``loss_space="eps"`` default — see the module docstring
+    for why the paper's truncated-SNR x0 weighting, kept as
+    ``loss_space="x0_snr"``, destabilises eps-parameterised students).
+    The student initialises from the teacher.
     """
 
     def __init__(
@@ -113,6 +173,9 @@ class GuidedDistiller:
         weight_decay: float = 0.0,
         ema_rate: float = 0.9999,
         seed: int = 0,
+        loss_space: str = "eps",
+        grad_clip: float | None = 1.0,
+        lr_schedule: str = "constant",
     ):
         assert model.conditional, (
             "guided distillation needs a class-conditional model "
@@ -137,8 +200,10 @@ class GuidedDistiller:
         self.iterations = iterations
         self.rng = jax.random.PRNGKey(seed)
 
-        self.optimizer = optax.adamw(lr, b1=0.9, b2=0.999,
-                                     weight_decay=weight_decay)
+        self.loss_space = loss_space
+        self.optimizer = _make_optimizer(
+            lr, weight_decay, iterations, grad_clip, lr_schedule
+        )
         self.ema_rate = ema_rate
         params = jax.tree.map(lambda p: jnp.array(p), teacher_params)
         self.state = DistillState(
@@ -163,15 +228,12 @@ class GuidedDistiller:
             eps_t, _ = self.teacher._guided_eps(
                 teacher_params, z, j, y, want_log_var=False
             )
-            target = jax.lax.stop_gradient((z - s * eps_t) / a)
+            eps_t = jax.lax.stop_gradient(eps_t)
 
             eps_s, _ = self.student._guided_eps(
                 params, z, j, y, want_log_var=False
             )
-            x0_s = (z - s * eps_s) / a
-
-            w = jnp.maximum(a**2 / s**2, 1.0)  # truncated SNR (App. E)
-            return jnp.mean(w * (x0_s - target) ** 2)
+            return _distill_loss(self.loss_space, eps_s, eps_t, a, s)
 
         def step(state: DistillState, teacher_params, batch, labels, rng):
             j_rng, n_rng = jax.random.split(rng)
@@ -213,7 +275,8 @@ class GuidedDistiller:
             if log_every and (it + 1) % log_every == 0:
                 print(
                     f"guided-distill step {it + 1}/{self.iterations}: "
-                    f"loss={float(metrics['loss']):.5f}"
+                    f"loss={float(metrics['loss']):.5f} "
+                    f"gnorm={float(metrics['grad_norm']):.3f}"
                 )
         return self.state.params, self.student
 
@@ -234,6 +297,9 @@ class ProgressiveDistiller:
         weight_decay: float = 0.0,
         ema_rate: float = 0.9999,
         seed: int = 0,
+        loss_space: str = "eps",
+        grad_clip: float | None = 1.0,
+        lr_schedule: str = "constant",
     ):
         args = dict(diffusion_args)
         args.update(guidance_method=None, guidance_strength=None,
@@ -246,8 +312,10 @@ class ProgressiveDistiller:
         self.iterations = iterations
         self.rng = jax.random.PRNGKey(seed)
 
-        self.optimizer = optax.adamw(lr, b1=0.9, b2=0.999,
-                                     weight_decay=weight_decay)
+        self.loss_space = loss_space
+        self.optimizer = _make_optimizer(
+            lr, weight_decay, iterations, grad_clip, lr_schedule
+        )
         self.ema_rate = ema_rate
         # student initialises FROM the teacher (paper §2). Real copies, not
         # views: the step donates the student state while the teacher
@@ -292,15 +360,14 @@ class ProgressiveDistiller:
             target, (a_t, s_t) = self._target_x0(
                 teacher_params, z, j, y
             )
-            target = jax.lax.stop_gradient(target)
+            # the epsilon a student must predict for its one DDIM step to
+            # land where the teacher's two did: x~0 = (z - s*eps)/a inverted
+            eps_t = jax.lax.stop_gradient((z - a_t * target) / s_t)
 
             eps_s, _ = self.student._guided_eps(
                 params, z, j, y, want_log_var=False
             )
-            x0_s = (z - s_t * eps_s) / a_t
-
-            w = jnp.maximum(a_t**2 / s_t**2, 1.0)  # truncated SNR
-            return jnp.mean(w * (x0_s - target) ** 2)
+            return _distill_loss(self.loss_space, eps_s, eps_t, a_t, s_t)
 
         def step(state: DistillState, teacher_params, batch, labels, rng):
             j_rng, n_rng = jax.random.split(rng)
@@ -350,6 +417,7 @@ class ProgressiveDistiller:
             if log_every and (it + 1) % log_every == 0:
                 print(
                     f"distill step {it + 1}/{self.iterations}: "
-                    f"loss={float(metrics['loss']):.5f}"
+                    f"loss={float(metrics['loss']):.5f} "
+                    f"gnorm={float(metrics['grad_norm']):.3f}"
                 )
         return self.state.params, self.student

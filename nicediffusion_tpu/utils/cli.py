@@ -263,11 +263,18 @@ def get_dicts_from_args(args) -> tuple[dict, dict, dict]:
             # pin 25; fast samplers like --sampler dpm++ want fewer — no
             # reference precedent: it ignores all flags in preset mode)
             user_steps = diff_args.get("rescaled_num_steps")
+            # user-explicit class count survives preset dispatch: the
+            # reference's own trainer adds the CFG null class (28) while
+            # its EMNIST preset says 27 (README 'Deliberate divergences'
+            # #5) — checkpoints trained that way need --num_classes 28
+            user_ncls = model_args.get("num_classes")
             m, d = preset_for_path(other_args["model_path"])
             model_args.update(m)
             diff_args.update(d)
             if user_steps is not None:
                 diff_args["rescaled_num_steps"] = user_steps
+            if user_ncls is not None:
+                model_args["num_classes"] = user_ncls
             if user_gm is not None:
                 diff_args["guidance_method"] = (
                     None if user_gm == "none" else user_gm

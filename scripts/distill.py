@@ -37,6 +37,15 @@ def main():
                         "which may be odd)")
     p.add_argument("--iterations", type=int, default=2000)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_schedule", default="warmup_cosine",
+                   choices=("constant", "warmup_cosine"))
+    p.add_argument("--grad_clip", type=float, default=1.0,
+                   help="global-norm gradient clip (0 disables)")
+    p.add_argument("--loss_space", default="eps", choices=("eps", "x0_snr"),
+                   help="'eps': uniform-weight epsilon MSE (stable default "
+                        "for eps-parameterised students); 'x0_snr': the "
+                        "papers' truncated-SNR x0 loss (see "
+                        "training/distill.py docstring)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--data", default=None)
     p.add_argument("--save_path", default="distilled.npz")
@@ -151,6 +160,9 @@ def main():
             iterations=args.iterations,
             guidance_strength=w,
             lr=args.lr,
+            lr_schedule=args.lr_schedule,
+            grad_clip=args.grad_clip or None,
+            loss_space=args.loss_space,
             seed=args.seed + 10_000,
         )
         params, student = gd.run(
@@ -170,6 +182,9 @@ def main():
             dataloader=loader(),
             iterations=args.iterations,
             lr=args.lr,
+            lr_schedule=args.lr_schedule,
+            grad_clip=args.grad_clip or None,
+            loss_space=args.loss_space,
             seed=args.seed + r,
         )
         params, student = distiller.run(

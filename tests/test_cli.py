@@ -207,3 +207,24 @@ def test_guidance_method_none_survives_preset_dispatch():
     )
     assert d3["guidance_method"] == "classifier_free"
     assert d3["guidance_strength"] == 2.5
+
+
+def test_num_classes_survives_preset_dispatch():
+    """'--num_classes 28' must override the EMNIST preset's 27: the
+    reference's own trainer adds the CFG null class (train.py:39-40) while
+    its preset says 27, so checkpoints trained the reference way need the
+    override at sampling time (README 'Deliberate divergences' #5 and the
+    scripts/distill.py --num_classes help). No reference analogue: its
+    preset mode ignores flags."""
+    argv = [
+        "--model_path", "EMNIST_model_params.pt", "--batch_size", "2",
+        "--num_samples", "1", "--num_classes", "28",
+    ]
+    _, m, _ = get_dicts_from_args(make_argparser("diff_sample").parse_args(argv))
+    assert m["num_classes"] == 28
+
+    # sanity: without the flag the preset's 27 stands
+    _, m2, _ = get_dicts_from_args(
+        make_argparser("diff_sample").parse_args(argv[:-2])
+    )
+    assert m2["num_classes"] == 27

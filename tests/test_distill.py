@@ -298,6 +298,70 @@ def test_guided_then_progressive_chain():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_loss_space_algebra():
+    """The paper's truncated-SNR x0 loss IS eps-MSE amplified by
+    max(1, s^2/a^2) — the conditioning hazard that motivates the 'eps'
+    default (module docstring; the factor reaches 4.1e5 at the top of a
+    250-step cosine grid)."""
+    from nicediffusion_tpu.training.distill import _distill_loss
+
+    key = jax.random.PRNGKey(0)
+    eps_s = jax.random.normal(key, (4, 8, 8, 1))
+    eps_t = eps_s + 0.1 * jax.random.normal(jax.random.fold_in(key, 1),
+                                            (4, 8, 8, 1))
+    for acp in (0.9999, 0.5, 2.43e-6):  # low-t, mid, top-of-cosine-chain
+        a = jnp.full((4, 1, 1, 1), np.sqrt(acp))
+        s = jnp.full((4, 1, 1, 1), np.sqrt(1 - acp))
+        l_eps = float(_distill_loss("eps", eps_s, eps_t, a, s))
+        l_x0 = float(_distill_loss("x0_snr", eps_s, eps_t, a, s))
+        amp = max(1.0, (1 - acp) / acp)
+        np.testing.assert_allclose(l_x0, amp * l_eps, rtol=1e-4)
+    # the measured amplification at the top of the 250-step cosine grid
+    assert max(1.0, (1 - 2.43e-6) / 2.43e-6) > 4e5
+
+    with pytest.raises(ValueError):
+        _distill_loss("nope", eps_s, eps_t, a, s)
+
+
+def test_guided_distill_zero_strength_loss_is_zero_x0_space():
+    """The w=0 exactness invariant holds in the paper-faithful loss space
+    too (both spaces share the same minimiser per (z, j))."""
+    from nicediffusion_tpu.training.distill import GuidedDistiller
+
+    model, params, loader = _cond_setup()
+    gd = GuidedDistiller(
+        model=model, teacher_params=params, diffusion_args=DARGS,
+        dataloader=loader(), iterations=1, guidance_strength=0.0, seed=3,
+        loss_space="x0_snr",
+    )
+    batch, labels = next(gd.loader)
+    gd.rng, step_rng = jax.random.split(gd.rng)
+    _, metrics = gd._step_fn(
+        gd.state, gd.teacher_params, jnp.asarray(batch),
+        jnp.asarray(labels), step_rng,
+    )
+    assert float(metrics["loss"]) < 1e-6
+
+
+def test_make_optimizer_variants():
+    from nicediffusion_tpu.training.distill import _make_optimizer
+
+    params = {"w": jnp.ones((3,))}
+    for sched in ("constant", "warmup_cosine"):
+        for clip in (1.0, None):
+            tx = _make_optimizer(1e-3, 0.0, 100, clip, sched)
+            state = tx.init(params)
+            upd, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+            assert np.isfinite(np.asarray(upd["w"])).all()
+    # warmup_cosine starts at lr ~0: the first update must be ~0
+    tx = _make_optimizer(1e-3, 0.0, 1000, 1.0, "warmup_cosine")
+    state = tx.init(params)
+    upd, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+    assert float(jnp.abs(upd["w"]).max()) < 1e-6
+    with pytest.raises(ValueError):
+        _make_optimizer(1e-3, 0.0, 100, 1.0, "nope")
+
+
 def test_guided_distill_requires_conditional_model():
     from nicediffusion_tpu.training.distill import GuidedDistiller
 

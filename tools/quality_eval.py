@@ -379,7 +379,7 @@ def main():
             dict(DIFF_TRAIN_ARGS, rescaled_num_steps=250),
             shifted_synthetic(batch, seed=3),
             iterations=int(os.environ.get("QE_DISTILL_STEPS", 400)),
-            lr=1e-4,
+            lr=1e-4, lr_schedule="warmup_cosine",
         )
         student_params, student_diff = distiller.run(
             log_every=max(int(os.environ.get("QE_DISTILL_STEPS", 400)) // 4, 1)
@@ -402,7 +402,7 @@ def main():
             shifted_synthetic(batch, seed=4),
             iterations=gsteps,
             guidance_strength=0.8,
-            lr=1e-4,
+            lr=1e-4, lr_schedule="warmup_cosine",
         )
         g_params, g_diff = gd.run(log_every=max(gsteps // 4, 1))
         modes["gdistill250_1fwd"] = sample_mode(g_diff, g_params)
