@@ -34,9 +34,11 @@ Configuration (env overrides):
                 (arXiv:2210.03142; training/distill.py GuidedDistiller,
                 quality measured by tools/quality_eval.py's gdistill row)
                 — on the same int8 static path, carried as
-                distilled_value / distilled_vs_baseline. vs_baseline keeps
-                the CFG reference denominator (2 calls/step): the task
-                served is guided sampling; the student does it in one call.
+                distilled_value / distilled_vs_baseline, plus the same
+                chain composed with encoder_cache 2 as
+                distilled_stack_value. vs_baseline keeps the CFG reference
+                denominator (2 calls/step): the task served is guided
+                sampling; the student does it in one call.
   BENCH_TRACE   set to a directory to capture a jax.profiler device trace
   BENCH_PRESET  model preset (default openai_64 — the headline metric;
                 EMNIST gives a CPU-feasible smoke of the whole bench
@@ -234,6 +236,7 @@ def main():
     # are synthetic); the student's QUALITY at a real training budget is
     # the gdistill row in tools/quality_eval.py / BASELINE.md.
     distilled_sps = None
+    distilled_stack_sps = None
     if (quantized and use_cfg and enc_cache is None and gi is None
             and os.environ.get("BENCH_DISTILLED", "1") == "1"):
         dcfg_d = dict(dcfg, guidance_method=None, guidance_strength=None)
@@ -242,6 +245,13 @@ def main():
             diffusion_d, params, rng, y, batch, None, max(runs - 1, 1)
         )
         distilled_sps = batch / distilled_elapsed
+        # ... composed with encoder_cache 2 — both levers measured
+        # quality-neutral independently (BASELINE.md quality tables;
+        # the gdistill+enc2 composition row bounds the pair)
+        distilled_stack_elapsed = _time_denoise(
+            diffusion_d, params, rng, y, batch, 2, max(runs - 1, 1)
+        )
+        distilled_stack_sps = batch / distilled_stack_elapsed
 
     # per-sample FLOPs for the baseline estimate: cost of one UNet forward
     # (always the float params — the baseline denominator is the exact
@@ -324,6 +334,15 @@ def main():
         if ref_samples_per_sec:
             record["distilled_vs_baseline"] = round(
                 distilled_sps / ref_samples_per_sec, 4
+            )
+    if distilled_stack_sps is not None:
+        record["distilled_stack_value"] = round(distilled_stack_sps, 4)
+        record["distilled_stack_config"] = (
+            "int8+guided_distilled_1fwd+enc_cache2"
+        )
+        if ref_samples_per_sec:
+            record["distilled_stack_vs_baseline"] = round(
+                distilled_stack_sps / ref_samples_per_sec, 4
             )
     print(json.dumps(record))
 

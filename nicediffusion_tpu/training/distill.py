@@ -36,11 +36,22 @@ students used here it is algebraically max(1, sigma^2/alpha^2) *
 ||eps_s - eps_target||^2 — an eps-space gradient amplifier that reaches
 4.1e5 at the top of a 250-step cosine grid (16 of 250 grid points exceed
 100x), which measurably destabilised an 8000-step guided-distillation run
-(loss spike 1.34 -> 4.14; BASELINE.md round 4). The default is therefore
-``loss_space="eps"``: plain MSE on epsilon (uniform weight — the standard
-"simple loss" weighting), with ``"x0_snr"`` kept as the paper-faithful
-option. Both share the same minimiser per (z, j). Gradients are globally
-norm-clipped (``grad_clip``, default 1.0) either way.
+(loss spike 1.34 -> 4.14; BASELINE.md round 4). Gradients are now
+globally norm-clipped (``grad_clip``, default 1.0), and the default loss
+space differs per stage, each choice measured on the quality harness
+(BASELINE.md round-4 quality table):
+
+- ``GuidedDistiller``: ``"eps"`` — stage 1 matches the guided teacher's
+  output on the SAME grid, and plain eps-MSE converges to ~3e-5 where the
+  x0_snr run diverged.
+- ``ProgressiveDistiller``: ``"x0_snr"`` — step-halving must be accurate
+  where image structure forms (high t, low SNR); the eps weighting
+  measurably worsened the distilled student's Fréchet (596 vs 277 at the
+  2000-step harness budget), so the paper weighting stays, stabilised by
+  the clip.
+
+Both spaces share the same minimiser per (z, j) and both remain available
+on either class.
 
 Learned-variance teachers work (DDIM ignores the variance channels), but
 the student's variance output receives no training signal — sample
@@ -147,12 +158,13 @@ class GuidedDistiller:
 
     This is the structural fix for the 2x CFG serving cost: the returned
     student samples **unguided** (one model forward per step, guidance
-    baked into the weights), is drop-in for every sampler (ddim/dpm++/
-    ddpm — eps only; like stage 2, learned-variance channels receive no
-    signal, so sample distilled students deterministically), and is the
-    correct teacher for `ProgressiveDistiller` — whose guidance-stripping
-    (previously a documented quality loss, tools/quality_eval.py distill
-    row) becomes exact once guidance lives in the weights.
+    baked into the weights) and is drop-in for EVERY sampler including
+    stochastic DDPM — the timestep grid is unchanged, so the teacher's
+    learned-variance head (untouched by the eps-only loss) stays valid at
+    every grid point. It is also the correct teacher for
+    `ProgressiveDistiller` — whose guidance-stripping (previously a
+    documented quality loss, tools/quality_eval.py distill row) becomes
+    exact once guidance lives in the weights.
 
     Loss: MSE against the guided teacher's epsilon at a uniformly drawn
     rescaled step (``loss_space="eps"`` default — see the module docstring
@@ -181,17 +193,19 @@ class GuidedDistiller:
             "guided distillation needs a class-conditional model "
             "(the CFG teacher calls the null class internally)"
         )
+        # Unlike stage 2, stage 1 keeps the teacher's timestep grid, so the
+        # teacher's learned-variance head stays exactly valid at every grid
+        # point — the student inherits the sampler configuration from
+        # diffusion_args (including stochastic DDPM) instead of being
+        # forced onto DDIM. Only the guidance is stripped: it lives in the
+        # weights after distillation.
         t_args = dict(diffusion_args)
         t_args.update(
             guidance_method="classifier_free",
             guidance_strength=guidance_strength,
-            use_ddim=True, ddim_eta=0.0,
         )
         s_args = dict(diffusion_args)
-        s_args.update(
-            guidance_method=None, guidance_strength=None,
-            use_ddim=True, ddim_eta=0.0,
-        )
+        s_args.update(guidance_method=None, guidance_strength=None)
         self.model = model
         self.teacher = Diffusion(model=model, **t_args)
         self.student = Diffusion(model=model, **s_args)
@@ -297,7 +311,7 @@ class ProgressiveDistiller:
         weight_decay: float = 0.0,
         ema_rate: float = 0.9999,
         seed: int = 0,
-        loss_space: str = "eps",
+        loss_space: str = "x0_snr",
         grad_clip: float | None = 1.0,
         lr_schedule: str = "constant",
     ):

@@ -214,10 +214,17 @@ def main():
                    [int(i) for i in np.asarray(student.timestep_map)],
                    "guided": guided_w is not None,
                    "guidance_strength": guided_w}, f)
-    hint = f"  --sampler ddim --timestep_indices {indices}"
-    if guided_w is not None:
-        hint += (" --guidance_method none"
-                 f"  # CFG (w={guided_w}) is baked into the weights")
+    if args.rounds == 0:
+        # stage-1-only: the grid is the teacher's, so the learned-variance
+        # head is still valid — any sampler works, including DDPM
+        hint = (f"  --guidance_method none"
+                f"  # CFG (w={guided_w}) baked into the weights; any "
+                "sampler works (stage 1 keeps the teacher's grid)")
+    else:
+        hint = f"  --sampler ddim --timestep_indices {indices}"
+        if guided_w is not None:
+            hint += (" --guidance_method none"
+                     f"  # CFG (w={guided_w}) is baked into the weights")
     print(f"Distilled to {steps} steps -> {args.save_path}. Sample with:\n"
           + hint)
 

@@ -298,6 +298,36 @@ def test_guided_then_progressive_chain():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_guided_student_inherits_sampler():
+    """Stage 1 keeps the teacher's grid, so the learned-variance head stays
+    valid and the student must inherit the diffusion_args sampler (DDPM by
+    default) instead of being forced onto DDIM like stage-2 students."""
+    from nicediffusion_tpu.training.distill import GuidedDistiller
+
+    model, params, loader = _cond_setup()
+    gd = GuidedDistiller(
+        model=model, teacher_params=params, diffusion_args=DARGS,
+        dataloader=loader(), iterations=1, guidance_strength=0.8,
+    )
+    assert gd.student.sampler == "ddpm"  # DARGS sets no sampler override
+    assert gd.student.guidance is None
+
+    gd_ddim = GuidedDistiller(
+        model=model, teacher_params=params,
+        diffusion_args=dict(DARGS, use_ddim=True, ddim_eta=0.0),
+        dataloader=loader(), iterations=1, guidance_strength=0.8,
+    )
+    assert gd_ddim.student.sampler == "ddim"
+
+    # stage-2 students stay deterministic: their halved grid invalidates
+    # the teacher's variance head
+    pd = ProgressiveDistiller(
+        model=model, teacher_params=params, diffusion_args=DARGS,
+        dataloader=loader(), iterations=1,
+    )
+    assert pd.student.sampler == "ddim"
+
+
 def test_loss_space_algebra():
     """The paper's truncated-SNR x0 loss IS eps-MSE amplified by
     max(1, s^2/a^2) — the conditioning hazard that motivates the 'eps'

@@ -388,14 +388,17 @@ def main():
 
     if "gdistill" in wanted:
         # stage-1 GUIDED distillation (arXiv:2210.03142): bake w=0.8 CFG
-        # into a single conditional forward, then sample the full 250-step
-        # chain unguided — directly comparable to the CFG rows above
-        # (same chain, same conditioning target, half the model calls).
+        # into a single conditional forward, then sample the SAME 250-step
+        # DDPM chain as the exact row, unguided and with identical rngs —
+        # stage 1 keeps the teacher's grid, so the learned-variance head
+        # stays valid and the student is directly comparable to the CFG
+        # rows (same chain, same conditioning target, half the model
+        # calls; pixel dev vs exact is meaningful here).
         from nicediffusion_tpu.training.distill import GuidedDistiller
 
         gsteps = int(os.environ.get("QE_GDISTILL_STEPS",
                                     os.environ.get("QE_DISTILL_STEPS", 400)))
-        print(f"guided distillation ({gsteps} steps, w=0.8 -> 1 fwd/step)...")
+        g_ckpt = os.environ.get("QE_GDISTILL_CKPT")
         gd = GuidedDistiller(
             model, ema_params,
             dict(DIFF_TRAIN_ARGS, rescaled_num_steps=250),
@@ -404,8 +407,33 @@ def main():
             guidance_strength=0.8,
             lr=1e-4, lr_schedule="warmup_cosine",
         )
-        g_params, g_diff = gd.run(log_every=max(gsteps // 4, 1))
+        if g_ckpt and os.path.exists(g_ckpt):
+            import flax.serialization
+
+            print(f"reusing guided-distilled student from {g_ckpt}...")
+            with open(g_ckpt, "rb") as f:
+                g_params = flax.serialization.from_bytes(
+                    gd.state.params, f.read()
+                )
+            g_diff = gd.student
+        else:
+            print(f"guided distillation ({gsteps} steps, w=0.8 -> "
+                  "1 fwd/step)...")
+            g_params, g_diff = gd.run(log_every=max(gsteps // 8, 1))
+            if g_ckpt:
+                import flax.serialization
+
+                with open(g_ckpt, "wb") as f:
+                    f.write(flax.serialization.to_bytes(g_params))
+                print(f"saved guided-distilled student to {g_ckpt}")
         modes["gdistill250_1fwd"] = sample_mode(g_diff, g_params)
+        # the student composed with the other quality-neutral serving
+        # lever: if both are neutral, distilled + enc_cache 2 (+ int8,
+        # whose noise the int8 row bounds) is the fastest
+        # quality-credible serving stack (bench.py distilled_value path)
+        modes["gdistill250_1fwd_enc2"] = sample_mode(
+            g_diff, g_params, enc_cache=2
+        )
 
     # real-data reference features
     gen = shifted_synthetic(eval_n, seed=9)
