@@ -41,6 +41,13 @@ Usage:
                                           # (the benched preset's shape,
                                           # reference default_args.py:15-21)
                                           # instead of the 28x28 EMNIST one
+  QE_ENC_KS=2 ...                         # trim the encoder-cache sweep
+                                          # (default 2,3)
+  QE_GI_BASE=0 ...                        # skip the preset-strength gi and
+                                          # stack rows, keeping only the
+                                          # QE_GI_W re-tuned ones (the
+                                          # expensive im64 column tests the
+                                          # shipped w=1.5 operating point)
 
 Results land in BASELINE.md's "Measured sample quality" table.
 """
@@ -305,20 +312,31 @@ def main():
     print("sampling: exact...")
     modes["exact"] = sample_mode(exact_diff, ema_params)
     if "enc" in wanted:
-        print("sampling: encoder_cache 2/3...")
-        modes["enc2"] = sample_mode(exact_diff, ema_params, enc_cache=2)
-        modes["enc3"] = sample_mode(exact_diff, ema_params, enc_cache=3)
+        # QE_ENC_KS trims the cache-interval sweep (the expensive 64x64
+        # column only needs the shipped k=2)
+        enc_ks = [
+            int(k)
+            for k in os.environ.get("QE_ENC_KS", "2,3").split(",") if k
+        ]
+        print(f"sampling: encoder_cache {enc_ks}...")
+        for k in enc_ks:
+            modes[f"enc{k}"] = sample_mode(
+                exact_diff, ema_params, enc_cache=k
+            )
     gi_w = [
         float(w) for w in os.environ.get("QE_GI_W", "").split(",") if w
     ]
     if "gi" in wanted:
-        print("sampling: guidance_interval (0.1, 0.7) / (0.15, 0.55)...")
-        modes["gi_0.1-0.7"] = sample_mode(
-            exact_diff, ema_params, gi=(0.1, 0.7)
-        )
-        modes["gi_0.15-0.55"] = sample_mode(
-            exact_diff, ema_params, gi=(0.15, 0.55)
-        )
+        if os.environ.get("QE_GI_BASE", "1") == "1":
+            # the preset-strength interval rows (QE_GI_BASE=0 skips them
+            # when only the re-tuned operating point is under test)
+            print("sampling: guidance_interval (0.1, 0.7) / (0.15, 0.55)...")
+            modes["gi_0.1-0.7"] = sample_mode(
+                exact_diff, ema_params, gi=(0.1, 0.7)
+            )
+            modes["gi_0.15-0.55"] = sample_mode(
+                exact_diff, ema_params, gi=(0.15, 0.55)
+            )
         # guidance-strength re-tune INSIDE the interval: the interval paper
         # (arXiv:2404.07724) reaches its FID-improving operating point by
         # raising w when guidance only acts mid-chain; holding the
@@ -352,10 +370,12 @@ def main():
             # the bench.py max-stack serving config: every lossy lever
             # composed (int8 static + encoder_cache 2 + limited-interval
             # guidance 0.1-0.7)
-            print("sampling: max stack (int8 + enc_cache 2 + gi 0.1-0.7)...")
-            modes["stack_int8_enc2_gi"] = sample_mode(
-                diff_q, serving, enc_cache=2, gi=(0.1, 0.7)
-            )
+            if os.environ.get("QE_GI_BASE", "1") == "1":
+                print("sampling: max stack (int8 + enc_cache 2 + "
+                      "gi 0.1-0.7)...")
+                modes["stack_int8_enc2_gi"] = sample_mode(
+                    diff_q, serving, enc_cache=2, gi=(0.1, 0.7)
+                )
             for w in gi_w:
                 print(f"sampling: max stack at re-tuned w={w}...")
                 dqw = Diffusion(
