@@ -38,7 +38,11 @@ Configuration (env overrides):
                 chain composed with encoder_cache 2 as
                 distilled_stack_value. vs_baseline keeps the CFG reference
                 denominator (2 calls/step): the task served is guided
-                sampling; the student does it in one call.
+                sampling; the student does it in one call. Also times the
+                stage-2 progressive 250->125 student of the guided student
+                (125 deterministic-DDIM steps, 1 fwd each — 4x fewer model
+                calls; ProgressiveDistiller, quality in the pgdistill row)
+                as pdistilled_value / pdistilled_vs_baseline.
   BENCH_TRACE   set to a directory to capture a jax.profiler device trace
   BENCH_PRESET  model preset (default openai_64 — the headline metric;
                 EMNIST gives a CPU-feasible smoke of the whole bench
@@ -253,6 +257,30 @@ def main():
         )
         distilled_stack_sps = batch / distilled_stack_elapsed
 
+    # stage-2 progressive halving ON the guided student (default on,
+    # int8-headline runs only): the 125-step deterministic-DDIM chain a
+    # 250->125 progressive student of the guided student serves — ONE
+    # forward per step on half the steps (4x fewer model calls than the
+    # headline's doubled-batch 250-step chain). Timing-only like the
+    # distilled rows; quality at a real budget is the pgdistill row in
+    # tools/quality_eval.py / BASELINE.md.
+    pdistilled_sps = None
+    if (quantized and use_cfg and enc_cache is None and gi is None
+            and os.environ.get("BENCH_DISTILLED", "1") == "1"
+            and dcfg.get("rescaled_num_steps", 0) % 2 == 0):
+        from nicediffusion_tpu.training.distill import (
+            make_student_diffusion,
+        )
+
+        dcfg_pd = dict(dcfg, guidance_method=None, guidance_strength=None,
+                       use_ddim=True, ddim_eta=0.0)
+        teacher_pd = Diffusion(model=model, **dcfg_pd)
+        diffusion_pd = make_student_diffusion(model, dcfg_pd, teacher_pd)
+        pdistilled_elapsed = _time_denoise(
+            diffusion_pd, params, rng, y, batch, None, max(runs - 1, 1)
+        )
+        pdistilled_sps = batch / pdistilled_elapsed
+
     # per-sample FLOPs for the baseline estimate: cost of one UNet forward
     # (always the float params — the baseline denominator is the exact
     # model's FLOP count regardless of serving dtype)
@@ -334,6 +362,16 @@ def main():
         if ref_samples_per_sec:
             record["distilled_vs_baseline"] = round(
                 distilled_sps / ref_samples_per_sec, 4
+            )
+    if pdistilled_sps is not None:
+        # two-stage distilled serving: guided (1 fwd/step) then one
+        # progressive halving (125 DDIM steps) — quality measured in
+        # BASELINE.md's pgdistill row
+        record["pdistilled_value"] = round(pdistilled_sps, 4)
+        record["pdistilled_config"] = "int8+gdistill+prog125_ddim_1fwd"
+        if ref_samples_per_sec:
+            record["pdistilled_vs_baseline"] = round(
+                pdistilled_sps / ref_samples_per_sec, 4
             )
     if distilled_stack_sps is not None:
         record["distilled_stack_value"] = round(distilled_stack_sps, 4)

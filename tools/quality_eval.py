@@ -25,9 +25,13 @@ Usage:
                                           # reruns then only re-sample)
   QE_MODES=enc,gi ...                     # restrict which lossy modes run
                                           # (exact always runs; choices:
-                                          # enc, gi, int8, distill; the
+                                          # enc, gi, int8, distill,
+                                          # gdistill, pgdistill; the
                                           # int8+enc2+gi max-stack row runs
-                                          # when int8 and gi/stack are on)
+                                          # when int8 and gi/stack are on;
+                                          # pgdistill — stage-2 halving of
+                                          # the guided student — needs
+                                          # gdistill on)
   QE_EVAL_N=2048 QE_CHUNK=256 ...         # statistical power: accuracies
                                           # are reported as mean +/- s.e.
                                           # over eval_n/chunk independent
@@ -305,7 +309,9 @@ def main():
         return np.concatenate(outs, 0)
 
     wanted = set(
-        os.environ.get("QE_MODES", "enc,gi,int8,distill,gdistill").split(",")
+        os.environ.get(
+            "QE_MODES", "enc,gi,int8,distill,gdistill,pgdistill"
+        ).split(",")
     )
     modes = {}
     exact_diff = Diffusion(model=model, **samp_args)
@@ -454,6 +460,64 @@ def main():
         modes["gdistill250_1fwd_enc2"] = sample_mode(
             g_diff, g_params, enc_cache=2
         )
+
+    if "pgdistill" in wanted:
+        # stage 2 ON stage 1 (Meng et al. 2210.03142 pipeline order):
+        # progressively halve the GUIDED student 250 -> 125. The guided
+        # student is already unguided, so ProgressiveDistiller's guidance
+        # stripping is exact here — this measures the full two-stage
+        # pipeline's quality at 125 DDIM steps / 1 forward each (4x fewer
+        # model calls than the exact 250-step doubled-batch CFG chain).
+        # The student's variance head gets no training signal, so it
+        # samples deterministic DDIM; `gdistill250_ddim` is the matched
+        # control (same guided weights, DDIM eta=0 at 250) separating the
+        # DDPM-vs-DDIM sampler change from the halving loss itself.
+        if "gdistill" not in wanted:
+            print("pgdistill needs gdistill in QE_MODES; skipping")
+        else:
+            from nicediffusion_tpu.training.distill import (
+                ProgressiveDistiller,
+            )
+
+            gd_ddim = Diffusion(model=model, **dict(
+                samp_args, guidance_method=None, guidance_strength=None,
+                use_ddim=True, ddim_eta=0.0,
+            ))
+            print("sampling: gdistill250_ddim control...")
+            modes["gdistill250_ddim"] = sample_mode(gd_ddim, g_params)
+
+            psteps = int(os.environ.get("QE_PGDISTILL_STEPS", gsteps))
+            p_ckpt = os.environ.get("QE_PGDISTILL_CKPT")
+            pd = ProgressiveDistiller(
+                model, g_params,
+                dict(DIFF_TRAIN_ARGS, rescaled_num_steps=250),
+                shifted_synthetic(batch, seed=5),
+                iterations=psteps,
+                lr=1e-4, lr_schedule="warmup_cosine",
+            )
+            if p_ckpt and os.path.exists(p_ckpt):
+                import flax.serialization
+
+                print(f"reusing progressive student from {p_ckpt}...")
+                with open(p_ckpt, "rb") as f:
+                    p_params = flax.serialization.from_bytes(
+                        pd.state.params, f.read()
+                    )
+                p_diff = pd.student
+            else:
+                print(f"progressive distillation of the guided student "
+                      f"({psteps} steps, 250 -> 125)...")
+                p_params, p_diff = pd.run(log_every=max(psteps // 8, 1))
+                if p_ckpt:
+                    import flax.serialization
+
+                    with open(p_ckpt, "wb") as f:
+                        f.write(flax.serialization.to_bytes(p_params))
+                    print(f"saved progressive student to {p_ckpt}")
+            modes["pgdistill125_1fwd"] = sample_mode(p_diff, p_params)
+            modes["pgdistill125_1fwd_enc2"] = sample_mode(
+                p_diff, p_params, enc_cache=2
+            )
 
     # real-data reference features
     gen = shifted_synthetic(eval_n, seed=9)
