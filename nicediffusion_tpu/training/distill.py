@@ -78,6 +78,14 @@ __all__ = [
     "make_student_diffusion",
 ]
 
+# Force one tiny device->host fetch every N training steps. Without it the
+# host dispatches the whole run ahead of the device and every queued call
+# pins its serialized arguments — through the axon relay an 8000-step
+# ProgressiveDistiller run grew to 130 GB host RSS and was OOM-killed
+# (observed 2026-08-19). One int fetch per 32 steps bounds the queue at a
+# negligible throughput cost.
+_DISPATCH_SYNC = 32
+
 
 class DistillState(flax.struct.PyTreeNode):
     step: jax.Array
@@ -286,6 +294,8 @@ class GuidedDistiller:
             self.state, metrics = self._step_fn(
                 self.state, self.teacher_params, batch, labels, step_rng
             )
+            if (it + 1) % _DISPATCH_SYNC == 0:
+                int(self.state.step)  # bound the async dispatch queue
             if log_every and (it + 1) % log_every == 0:
                 print(
                     f"guided-distill step {it + 1}/{self.iterations}: "
@@ -428,6 +438,8 @@ class ProgressiveDistiller:
             self.state, metrics = self._step_fn(
                 self.state, self.teacher_params, batch, labels, step_rng
             )
+            if (it + 1) % _DISPATCH_SYNC == 0:
+                int(self.state.step)  # bound the async dispatch queue
             if log_every and (it + 1) % log_every == 0:
                 print(
                     f"distill step {it + 1}/{self.iterations}: "

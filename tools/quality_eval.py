@@ -52,6 +52,9 @@ Usage:
                                           # QE_GI_W re-tuned ones (the
                                           # expensive im64 column tests the
                                           # shipped w=1.5 operating point)
+  QE_GDISTILL_SAMPLE=0 ...                # keep gdistill as pgdistill's
+                                          # teacher but skip re-sampling
+                                          # its two (already recorded) rows
 
 Results land in BASELINE.md's "Measured sample quality" table.
 """
@@ -452,14 +455,18 @@ def main():
                 with open(g_ckpt, "wb") as f:
                     f.write(flax.serialization.to_bytes(g_params))
                 print(f"saved guided-distilled student to {g_ckpt}")
-        modes["gdistill250_1fwd"] = sample_mode(g_diff, g_params)
-        # the student composed with the other quality-neutral serving
-        # lever: if both are neutral, distilled + enc_cache 2 (+ int8,
-        # whose noise the int8 row bounds) is the fastest
-        # quality-credible serving stack (bench.py distilled_value path)
-        modes["gdistill250_1fwd_enc2"] = sample_mode(
-            g_diff, g_params, enc_cache=2
-        )
+        if os.environ.get("QE_GDISTILL_SAMPLE", "1") == "1":
+            modes["gdistill250_1fwd"] = sample_mode(g_diff, g_params)
+            # the student composed with the other quality-neutral serving
+            # lever: if both are neutral, distilled + enc_cache 2 (+ int8,
+            # whose noise the int8 row bounds) is the fastest
+            # quality-credible serving stack (bench.py distilled_value
+            # path). QE_GDISTILL_SAMPLE=0 skips these two rows when the
+            # cached student's numbers are already recorded and gdistill
+            # is wanted only as the pgdistill stage's teacher.
+            modes["gdistill250_1fwd_enc2"] = sample_mode(
+                g_diff, g_params, enc_cache=2
+            )
 
     if "pgdistill" in wanted:
         # stage 2 ON stage 1 (Meng et al. 2210.03142 pipeline order):
