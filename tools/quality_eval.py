@@ -55,6 +55,16 @@ Usage:
   QE_GDISTILL_SAMPLE=0 ...                # keep gdistill as pgdistill's
                                           # teacher but skip re-sampling
                                           # its two (already recorded) rows
+  QE_PGDISTILL_ROUNDS=2 QE_SAMPLE_STEPS=256 ...
+                                          # chain halving rounds on the
+                                          # guided student (256 -> 128 ->
+                                          # 64; the base step count must be
+                                          # divisible by 2**rounds — grids
+                                          # nest via timestep_indices, so
+                                          # later rounds stay on points the
+                                          # student was trained on). One
+                                          # sampled row per round; _enc2
+                                          # only for the final student
 
 Results land in BASELINE.md's "Measured sample quality" table.
 """
@@ -427,10 +437,11 @@ def main():
 
         gsteps = int(os.environ.get("QE_GDISTILL_STEPS",
                                     os.environ.get("QE_DISTILL_STEPS", 400)))
+        base_steps = samp_args["rescaled_num_steps"]
         g_ckpt = os.environ.get("QE_GDISTILL_CKPT")
         gd = GuidedDistiller(
             model, ema_params,
-            dict(DIFF_TRAIN_ARGS, rescaled_num_steps=250),
+            dict(DIFF_TRAIN_ARGS, rescaled_num_steps=base_steps),
             shifted_synthetic(batch, seed=4),
             iterations=gsteps,
             guidance_strength=0.8,
@@ -456,7 +467,9 @@ def main():
                     f.write(flax.serialization.to_bytes(g_params))
                 print(f"saved guided-distilled student to {g_ckpt}")
         if os.environ.get("QE_GDISTILL_SAMPLE", "1") == "1":
-            modes["gdistill250_1fwd"] = sample_mode(g_diff, g_params)
+            modes[f"gdistill{base_steps}_1fwd"] = sample_mode(
+                g_diff, g_params
+            )
             # the student composed with the other quality-neutral serving
             # lever: if both are neutral, distilled + enc_cache 2 (+ int8,
             # whose noise the int8 row bounds) is the fastest
@@ -464,7 +477,7 @@ def main():
             # path). QE_GDISTILL_SAMPLE=0 skips these two rows when the
             # cached student's numbers are already recorded and gdistill
             # is wanted only as the pgdistill stage's teacher.
-            modes["gdistill250_1fwd_enc2"] = sample_mode(
+            modes[f"gdistill{base_steps}_1fwd_enc2"] = sample_mode(
                 g_diff, g_params, enc_cache=2
             )
 
@@ -490,41 +503,75 @@ def main():
                 samp_args, guidance_method=None, guidance_strength=None,
                 use_ddim=True, ddim_eta=0.0,
             ))
-            print("sampling: gdistill250_ddim control...")
-            modes["gdistill250_ddim"] = sample_mode(gd_ddim, g_params)
+            print(f"sampling: gdistill{base_steps}_ddim control...")
+            modes[f"gdistill{base_steps}_ddim"] = sample_mode(
+                gd_ddim, g_params
+            )
 
             psteps = int(os.environ.get("QE_PGDISTILL_STEPS", gsteps))
             p_ckpt = os.environ.get("QE_PGDISTILL_CKPT")
-            pd = ProgressiveDistiller(
-                model, g_params,
-                dict(DIFF_TRAIN_ARGS, rescaled_num_steps=250),
-                shifted_synthetic(batch, seed=5),
-                iterations=psteps,
-                lr=1e-4, lr_schedule="warmup_cosine",
+            rounds = int(os.environ.get("QE_PGDISTILL_ROUNDS", 1))
+            # chained halving rounds (scripts/distill.py order): round
+            # r+1's teacher grid is the PREVIOUS student's exact nested
+            # grid via timestep_indices — an even re-respacing at N/2
+            # would land on timesteps the student was never trained on
+            t_params, t_args = g_params, dict(
+                DIFF_TRAIN_ARGS, rescaled_num_steps=base_steps
             )
-            if p_ckpt and os.path.exists(p_ckpt):
-                import flax.serialization
-
-                print(f"reusing progressive student from {p_ckpt}...")
-                with open(p_ckpt, "rb") as f:
-                    p_params = flax.serialization.from_bytes(
-                        pd.state.params, f.read()
-                    )
-                p_diff = pd.student
-            else:
-                print(f"progressive distillation of the guided student "
-                      f"({psteps} steps, 250 -> 125)...")
-                p_params, p_diff = pd.run(log_every=max(psteps // 8, 1))
-                if p_ckpt:
+            for r in range(1, rounds + 1):
+                n_t = t_args["rescaled_num_steps"]
+                if n_t % 2:
+                    print(f"pgdistill round {r}: cannot halve odd "
+                          f"step count {n_t}; stopping at round {r - 1}")
+                    break
+                pd = ProgressiveDistiller(
+                    model, t_params, t_args,
+                    shifted_synthetic(batch, seed=4 + r),
+                    iterations=psteps,
+                    lr=1e-4, lr_schedule="warmup_cosine",
+                )
+                # round 1 keeps the bare QE_PGDISTILL_CKPT path
+                # (backward-compatible); later rounds suffix .r{r}
+                ck = p_ckpt if (p_ckpt and r == 1) else (
+                    f"{p_ckpt}.r{r}" if p_ckpt else None
+                )
+                if ck and os.path.exists(ck):
                     import flax.serialization
 
-                    with open(p_ckpt, "wb") as f:
-                        f.write(flax.serialization.to_bytes(p_params))
-                    print(f"saved progressive student to {p_ckpt}")
-            modes["pgdistill125_1fwd"] = sample_mode(p_diff, p_params)
-            modes["pgdistill125_1fwd_enc2"] = sample_mode(
-                p_diff, p_params, enc_cache=2
-            )
+                    print(f"reusing round-{r} progressive student "
+                          f"from {ck}...")
+                    with open(ck, "rb") as f:
+                        p_params = flax.serialization.from_bytes(
+                            pd.state.params, f.read()
+                        )
+                    p_diff = pd.student
+                else:
+                    print(f"progressive distillation round {r}/{rounds} "
+                          f"({psteps} steps, {n_t} -> {n_t // 2})...")
+                    p_params, p_diff = pd.run(
+                        log_every=max(psteps // 8, 1)
+                    )
+                    if ck:
+                        import flax.serialization
+
+                        with open(ck, "wb") as f:
+                            f.write(flax.serialization.to_bytes(p_params))
+                        print(f"saved round-{r} progressive student "
+                              f"to {ck}")
+                n_s = p_diff.rescaled_num_steps
+                modes[f"pgdistill{n_s}_1fwd"] = sample_mode(
+                    p_diff, p_params
+                )
+                if r == rounds:
+                    # serving-stack bound only for the final student
+                    modes[f"pgdistill{n_s}_1fwd_enc2"] = sample_mode(
+                        p_diff, p_params, enc_cache=2
+                    )
+                t_params = p_params
+                t_args = dict(
+                    DIFF_TRAIN_ARGS, rescaled_num_steps=n_s,
+                    timestep_indices=np.asarray(p_diff.timestep_map),
+                )
 
     # real-data reference features
     gen = shifted_synthetic(eval_n, seed=9)
