@@ -511,6 +511,7 @@ def main():
             psteps = int(os.environ.get("QE_PGDISTILL_STEPS", gsteps))
             p_ckpt = os.environ.get("QE_PGDISTILL_CKPT")
             rounds = int(os.environ.get("QE_PGDISTILL_ROUNDS", 1))
+            p_params = p_diff = None
             # chained halving rounds (scripts/distill.py order): round
             # r+1's teacher grid is the PREVIOUS student's exact nested
             # grid via timestep_indices — an even re-respacing at N/2
@@ -571,6 +572,30 @@ def main():
                 t_args = dict(
                     DIFF_TRAIN_ARGS, rescaled_num_steps=n_s,
                     timestep_indices=np.asarray(p_diff.timestep_map),
+                )
+            if (p_diff is not None
+                    and os.environ.get("QE_PGDISTILL_DDPM", "1") == "1"):
+                # The halving loss trains only the eps head; the student's
+                # learned-variance head is INHERITED from the teacher and
+                # its grid points are original-chain timesteps the teacher
+                # trained on — so stochastic DDPM on the nested grid is
+                # well-defined at the same per-step cost as the DDIM chain.
+                # This row separates "the halving lost quality" from "the
+                # deterministic sampler lost quality" (the gdistill*_ddim
+                # control measures the latter on the unhalved grid).
+                n_s = p_diff.rescaled_num_steps
+                pd_ddpm = Diffusion(model=model, **dict(
+                    samp_args, guidance_method=None, guidance_strength=None,
+                    rescaled_num_steps=n_s,
+                    timestep_indices=np.asarray(p_diff.timestep_map),
+                ))
+                print(f"sampling: pgdistill{n_s}_ddpm (stochastic, "
+                      "teacher-inherited variance head)...")
+                modes[f"pgdistill{n_s}_ddpm"] = sample_mode(
+                    pd_ddpm, p_params
+                )
+                modes[f"pgdistill{n_s}_ddpm_enc2"] = sample_mode(
+                    pd_ddpm, p_params, enc_cache=2
                 )
 
     # real-data reference features
