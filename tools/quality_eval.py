@@ -64,7 +64,14 @@ Usage:
                                           # later rounds stay on points the
                                           # student was trained on). One
                                           # sampled row per round; _enc2
-                                          # only for the final student
+                                          # only for the final student.
+                                          # QE_PGDISTILL_ETA1=1 (default)
+                                          # adds stochastic-DDIM (eta=1)
+                                          # rows + matched unhalved control;
+                                          # QE_PGDISTILL_DDPM=1 adds the
+                                          # learned-variance DDPM rows
+                                          # (measured non-viable — see the
+                                          # code comment)
 
 Results land in BASELINE.md's "Measured sample quality" table.
 """
@@ -574,15 +581,17 @@ def main():
                     timestep_indices=np.asarray(p_diff.timestep_map),
                 )
             if (p_diff is not None
-                    and os.environ.get("QE_PGDISTILL_DDPM", "1") == "1"):
+                    and os.environ.get("QE_PGDISTILL_DDPM", "0") == "1"):
                 # The halving loss trains only the eps head; the student's
                 # learned-variance head is INHERITED from the teacher and
                 # its grid points are original-chain timesteps the teacher
                 # trained on — so stochastic DDPM on the nested grid is
                 # well-defined at the same per-step cost as the DDIM chain.
-                # This row separates "the halving lost quality" from "the
-                # deterministic sampler lost quality" (the gdistill*_ddim
-                # control measures the latter on the unhalved grid).
+                # MEASURED NON-VIABLE at the 8000-step budget (2026-08-20,
+                # BASELINE.md): the shared trunk drifts during halving, so
+                # the inherited variance head mis-calibrates — Fréchet 715
+                # vs 340 for eta=0 DDIM. Default off; kept as the recorded
+                # negative result.
                 n_s = p_diff.rescaled_num_steps
                 pd_ddpm = Diffusion(model=model, **dict(
                     samp_args, guidance_method=None, guidance_strength=None,
@@ -596,6 +605,39 @@ def main():
                 )
                 modes[f"pgdistill{n_s}_ddpm_enc2"] = sample_mode(
                     pd_ddpm, p_params, enc_cache=2
+                )
+            if (p_diff is not None
+                    and os.environ.get("QE_PGDISTILL_ETA1", "1") == "1"):
+                # Stochastic DDIM (eta=1): the noise scale is SCHEDULE-
+                # derived (sigma^2 = (1-acp_prev)/(1-acp)*(1-acp/acp_prev)),
+                # so it needs no learned variance at all — immune to the
+                # trunk drift that breaks the DDPM row above, at identical
+                # per-step cost to eta=0. If the eta=0 quality deficit is
+                # the determinism (the harness-scale hypothesis), these
+                # rows recover it. gdistill*_eta1 is the matched unhalved
+                # control.
+                g_eta1 = Diffusion(model=model, **dict(
+                    samp_args, guidance_method=None, guidance_strength=None,
+                    use_ddim=True, ddim_eta=1.0,
+                ))
+                print(f"sampling: gdistill{base_steps}_eta1 control...")
+                modes[f"gdistill{base_steps}_eta1"] = sample_mode(
+                    g_eta1, g_params
+                )
+                n_s = p_diff.rescaled_num_steps
+                pd_eta1 = Diffusion(model=model, **dict(
+                    samp_args, guidance_method=None, guidance_strength=None,
+                    use_ddim=True, ddim_eta=1.0,
+                    rescaled_num_steps=n_s,
+                    timestep_indices=np.asarray(p_diff.timestep_map),
+                ))
+                print(f"sampling: pgdistill{n_s}_eta1 (stochastic DDIM, "
+                      "schedule-derived noise)...")
+                modes[f"pgdistill{n_s}_eta1"] = sample_mode(
+                    pd_eta1, p_params
+                )
+                modes[f"pgdistill{n_s}_eta1_enc2"] = sample_mode(
+                    pd_eta1, p_params, enc_cache=2
                 )
 
     # real-data reference features
