@@ -25,8 +25,15 @@ Usage:
                                           # reruns then only re-sample)
   QE_MODES=enc,gi ...                     # restrict which lossy modes run
                                           # (exact always runs; choices:
-                                          # enc, gi, int8, distill,
-                                          # gdistill, pgdistill; the
+                                          # enc, ddimctl, gi, int8, distill,
+                                          # gdistill, pgdistill; ddimctl =
+                                          # deterministic/eta=1 DDIM rows on
+                                          # the exact CFG teacher, the
+                                          # sampler-regime control for the
+                                          # distillation rows; dpmctl =
+                                          # DPM-Solver++(2M) rows on the
+                                          # exact teacher at QE_DPM_STEPS
+                                          # (default 250,50,25); the
                                           # int8+enc2+gi max-stack row runs
                                           # when int8 and gi/stack are on;
                                           # pgdistill — stage-2 halving of
@@ -349,6 +356,53 @@ def main():
             modes[f"enc{k}"] = sample_mode(
                 exact_diff, ema_params, enc_cache=k
             )
+    if "ddimctl" in wanted:
+        # Deterministic-DDIM controls on the EXACT teacher, CFG intact.
+        # These separate "deterministic DDIM costs quality at this harness
+        # scale" from "distillation costs quality": the pgdistill students
+        # sample deterministic DDIM, and their matched gdistill*_ddim
+        # control already shows the sampler switch (not the halving)
+        # carries the loss — these rows test whether the UNDISTILLED model
+        # pays the same price under the same sampler regime.
+        #   exact_ddim<N>       — eta=0 DDIM on the teacher's full grid
+        #   exact_ddim<N/2>     — naive step halving (the baseline stage-2
+        #                         distillation must beat; 2 fwd/step CFG)
+        #   exact_ddim<N>_eta1  — stochastic DDIM, schedule-derived noise
+        #                         (does noise alone close the gap?)
+        n_full = samp_args["rescaled_num_steps"]
+        for name, over in (
+            (f"exact_ddim{n_full}",
+             dict(use_ddim=True, ddim_eta=0.0)),
+            (f"exact_ddim{n_full // 2}",
+             dict(use_ddim=True, ddim_eta=0.0,
+                  rescaled_num_steps=n_full // 2)),
+            (f"exact_ddim{n_full}_eta1",
+             dict(use_ddim=True, ddim_eta=1.0)),
+        ):
+            print(f"sampling: {name} (CFG teacher, DDIM control)...")
+            d_ctl = Diffusion(model=model, **dict(samp_args, **over))
+            modes[name] = sample_mode(d_ctl, ema_params)
+
+    if "dpmctl" in wanted:
+        # DPM-Solver++(2M) rows on the exact CFG teacher. At production
+        # scale dpm++ matches the 250-step ancestral chain in 25-50 steps
+        # (arXiv:2211.01095) — if that holds on this harness it is a
+        # training-free 5-10x step reduction; if it does not, it pins the
+        # same deterministic-ODE quality ceiling the ddimctl rows measure.
+        # QE_DPM_STEPS sets the swept step counts.
+        dpm_steps = [
+            int(s)
+            for s in os.environ.get("QE_DPM_STEPS", "250,50,25").split(",")
+            if s
+        ]
+        for n_dpm in dpm_steps:
+            name = f"exact_dpmpp{n_dpm}"
+            print(f"sampling: {name} (CFG teacher, DPM-Solver++ 2M)...")
+            d_ctl = Diffusion(model=model, **dict(
+                samp_args, sampler="dpm++", rescaled_num_steps=n_dpm,
+            ))
+            modes[name] = sample_mode(d_ctl, ema_params)
+
     gi_w = [
         float(w) for w in os.environ.get("QE_GI_W", "").split(",") if w
     ]
