@@ -265,6 +265,7 @@ def main():
     # distilled rows; quality at a real budget is the pgdistill row in
     # tools/quality_eval.py / BASELINE.md.
     pdistilled_sps = None
+    pdistilled_stack_sps = None
     if (quantized and use_cfg and enc_cache is None and gi is None
             and os.environ.get("BENCH_DISTILLED", "1") == "1"
             and dcfg.get("rescaled_num_steps", 0) % 2 == 0):
@@ -280,6 +281,14 @@ def main():
             diffusion_pd, params, rng, y, batch, None, max(runs - 1, 1)
         )
         pdistilled_sps = batch / pdistilled_elapsed
+        # ... composed with encoder_cache 2 — the fastest chain this
+        # framework serves (125 steps x 1 fwd, int8, cached encoder);
+        # quality bound like the pdistilled row plus the enc2 row's
+        # measured-neutral delta
+        pdistilled_stack_elapsed = _time_denoise(
+            diffusion_pd, params, rng, y, batch, 2, max(runs - 1, 1)
+        )
+        pdistilled_stack_sps = batch / pdistilled_stack_elapsed
 
     # per-sample FLOPs for the baseline estimate: cost of one UNet forward
     # (always the float params — the baseline denominator is the exact
@@ -372,6 +381,15 @@ def main():
         if ref_samples_per_sec:
             record["pdistilled_vs_baseline"] = round(
                 pdistilled_sps / ref_samples_per_sec, 4
+            )
+    if pdistilled_stack_sps is not None:
+        record["pdistilled_stack_value"] = round(pdistilled_stack_sps, 4)
+        record["pdistilled_stack_config"] = (
+            "int8+gdistill+prog125_ddim_1fwd+enc_cache2"
+        )
+        if ref_samples_per_sec:
+            record["pdistilled_stack_vs_baseline"] = round(
+                pdistilled_stack_sps / ref_samples_per_sec, 4
             )
     if distilled_stack_sps is not None:
         record["distilled_stack_value"] = round(distilled_stack_sps, 4)
