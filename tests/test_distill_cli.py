@@ -9,7 +9,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp
