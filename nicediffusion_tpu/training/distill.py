@@ -53,10 +53,37 @@ space differs per stage, each choice measured on the quality harness
 Both spaces share the same minimiser per (z, j) and both remain available
 on either class.
 
-Learned-variance teachers work (DDIM ignores the variance channels), but
-the student's variance output receives no training signal — sample
-distilled students with ddim/dpm++, not ddpm (documented limitation,
-matching the paper's deterministic setting).
+v-parameterised students (``student_prediction_type="v"``): the student's
+Diffusion is built with ``prediction_type="v"`` (diffusion/process.py
+converts v -> eps once at the model boundary), which is the Salimans & Ho
+App.-D recipe for few-step/distilled models. Both distillers stay
+parameterisation-agnostic because the loss compares epsilons: for a
+v student, eps_s - eps_t = alpha * (v_s - v_t) at fixed z, so the
+``x0_snr`` loss max(1, s^2/a^2) * ||Δeps||^2 becomes
+max(a^2, s^2) * ||Δv||^2 — the paper's well-conditioned bounded weighting
+(in [1/2, 1]) falls out algebraically, which is why ``loss_space`` defaults
+to ``"x0_snr"`` whenever the student is v-parameterised. The natural
+pipeline is: stage 1 with ``student_prediction_type="v"`` (bakes guidance
+AND reparameterises in one same-grid distillation), then stage 2 with
+``prediction_type="v"`` in diffusion_args (teacher and student both v,
+exact initialisation).
+
+Variance-head distillation (``var_weight``): by default the halving loss
+trains only the eps/v head, so halved students could not sample
+stochastically (DDPM needs the learned variance; measured Fréchet 715 vs
+340 with the stale inherited head, BASELINE.md round 4). With
+``var_weight`` set:
+
+- ``GuidedDistiller`` pins the student's resolved log-variance to the
+  teacher's (same grid, so the teacher's variance IS the target; Meng et
+  al. 2210.03142 distill learned-variance models this way) — keeping the
+  head valid as the shared trunk drifts during training.
+- ``ProgressiveDistiller`` trains the student's log-variance with the
+  IDDPM VLB term evaluated on the STUDENT's own halved grid with the eps
+  prediction stop-gradiented (exactly the hybrid-loss variance channel,
+  IDDPM eq. 16, but on the student chain) — the likelihood-optimal
+  variance for one student step, learned from data rather than composed
+  teacher moments.
 """
 
 from __future__ import annotations
@@ -140,9 +167,12 @@ def _distill_loss(loss_space: str, eps_s, eps_target, a, s):
     raise ValueError(f"unknown loss_space {loss_space!r} (eps | x0_snr)")
 
 
-def make_student_diffusion(model, diffusion_args: dict, teacher: Diffusion):
+def make_student_diffusion(model, diffusion_args: dict, teacher: Diffusion,
+                           prediction_type: str | None = None):
     """Student Diffusion on the teacher's odd rescaled indices (exact
-    nesting: student acp[j] == teacher acp[2j+1])."""
+    nesting: student acp[j] == teacher acp[2j+1]). ``prediction_type``
+    overrides the teacher's output convention for the student (e.g. an
+    eps teacher distilled into a v student)."""
     n = teacher.rescaled_num_steps
     assert n % 2 == 0, f"teacher steps must be even to halve, got {n}"
     student_indices = np.asarray(teacher.timestep_map)[1::2]
@@ -155,6 +185,8 @@ def make_student_diffusion(model, diffusion_args: dict, teacher: Diffusion):
         ddim_eta=0.0,
         timestep_indices=student_indices,
     )
+    if prediction_type is not None:
+        args.update(prediction_type=prediction_type)
     return Diffusion(model=model, **args)
 
 
@@ -193,9 +225,11 @@ class GuidedDistiller:
         weight_decay: float = 0.0,
         ema_rate: float = 0.9999,
         seed: int = 0,
-        loss_space: str = "eps",
+        loss_space: str | None = None,
         grad_clip: float | None = 1.0,
         lr_schedule: str = "constant",
+        student_prediction_type: str | None = None,
+        var_weight: float | None = None,
     ):
         assert model.conditional, (
             "guided distillation needs a class-conditional model "
@@ -214,6 +248,12 @@ class GuidedDistiller:
         )
         s_args = dict(diffusion_args)
         s_args.update(guidance_method=None, guidance_strength=None)
+        if student_prediction_type is not None:
+            # same-grid reparameterisation (e.g. eps teacher -> v student,
+            # Salimans & Ho App. D): bake guidance and convert the output
+            # convention in one distillation pass. The eps-space target is
+            # unchanged — only the student's native head differs.
+            s_args.update(prediction_type=student_prediction_type)
         self.model = model
         self.teacher = Diffusion(model=model, **t_args)
         self.student = Diffusion(model=model, **s_args)
@@ -222,7 +262,18 @@ class GuidedDistiller:
         self.iterations = iterations
         self.rng = jax.random.PRNGKey(seed)
 
+        if loss_space is None:
+            # v students need the bounded max(a^2, s^2) v-space weighting
+            # (module docstring); plain eps-MSE would downweight high t by
+            # a^2 exactly where image structure forms.
+            loss_space = (
+                "x0_snr" if self.student.prediction_type == "v" else "eps"
+            )
         self.loss_space = loss_space
+        # var_weight: pin the student's resolved log-variance to the guided
+        # teacher's (stage 1 shares the teacher's grid, so the teacher's
+        # variance is exactly the right target at every grid point)
+        self.var_weight = var_weight
         self.optimizer = _make_optimizer(
             lr, weight_decay, iterations, grad_clip, lr_schedule
         )
@@ -247,15 +298,23 @@ class GuidedDistiller:
                 1 - jnp.take(self.teacher._acp, j)
             ).reshape((-1,) + (1,) * (nd - 1))
 
-            eps_t, _ = self.teacher._guided_eps(
-                teacher_params, z, j, y, want_log_var=False
+            want_lv = self.var_weight is not None
+            eps_t, lv_t = self.teacher._guided_eps(
+                teacher_params, z, j, y, want_log_var=want_lv
             )
             eps_t = jax.lax.stop_gradient(eps_t)
 
-            eps_s, _ = self.student._guided_eps(
-                params, z, j, y, want_log_var=False
+            eps_s, lv_s = self.student._guided_eps(
+                params, z, j, y, want_log_var=want_lv
             )
-            return _distill_loss(self.loss_space, eps_s, eps_t, a, s)
+            loss = _distill_loss(self.loss_space, eps_s, eps_t, a, s)
+            if want_lv:
+                # variance distillation: same grid, so the guided teacher's
+                # resolved log-variance is the exact target (2210.03142)
+                loss = loss + self.var_weight * jnp.mean(
+                    (lv_s - jax.lax.stop_gradient(lv_t)) ** 2
+                )
+            return loss
 
         def step(state: DistillState, teacher_params, batch, labels, rng):
             j_rng, n_rng = jax.random.split(rng)
@@ -324,19 +383,30 @@ class ProgressiveDistiller:
         loss_space: str = "x0_snr",
         grad_clip: float | None = 1.0,
         lr_schedule: str = "constant",
+        student_prediction_type: str | None = None,
+        var_weight: float | None = None,
     ):
         args = dict(diffusion_args)
         args.update(guidance_method=None, guidance_strength=None,
                     use_ddim=True, ddim_eta=0.0)
         self.model = model
         self.teacher = Diffusion(model=model, **args)
-        self.student = make_student_diffusion(model, diffusion_args, self.teacher)
+        self.student = make_student_diffusion(
+            model, diffusion_args, self.teacher,
+            prediction_type=student_prediction_type,
+        )
         self.teacher_params = teacher_params
         self.loader = dataloader
         self.iterations = iterations
         self.rng = jax.random.PRNGKey(seed)
 
         self.loss_space = loss_space
+        # var_weight: train the student's log-variance head with the IDDPM
+        # VLB term on the student's own halved grid (eps stop-gradiented,
+        # exactly the hybrid-loss variance channel) so halved students can
+        # sample stochastic DDPM — without it the head is inherited stale
+        # from the teacher (measured non-viable, BASELINE.md round 4).
+        self.var_weight = var_weight
         self.optimizer = _make_optimizer(
             lr, weight_decay, iterations, grad_clip, lr_schedule
         )
@@ -388,10 +458,21 @@ class ProgressiveDistiller:
             # land where the teacher's two did: x~0 = (z - s*eps)/a inverted
             eps_t = jax.lax.stop_gradient((z - a_t * target) / s_t)
 
-            eps_s, _ = self.student._guided_eps(
-                params, z, j, y, want_log_var=False
+            want_lv = self.var_weight is not None
+            eps_s, lv_s = self.student._guided_eps(
+                params, z, j, y, want_log_var=want_lv
             )
-            return _distill_loss(self.loss_space, eps_s, eps_t, a_t, s_t)
+            loss = _distill_loss(self.loss_space, eps_s, eps_t, a_t, s_t)
+            if want_lv:
+                # variance head: likelihood-optimal log-variance for ONE
+                # student step, via the VLB on the student's halved grid
+                # with the distillation-trained eps stopped (IDDPM eq. 16
+                # structure; mean over batch, bits/dim scale)
+                vlb = self.student.variational_lower_bound(
+                    x0, z, j, jax.lax.stop_gradient(eps_s), lv_s
+                )
+                loss = loss + self.var_weight * jnp.mean(vlb)
+            return loss
 
         def step(state: DistillState, teacher_params, batch, labels, rng):
             j_rng, n_rng = jax.random.split(rng)

@@ -46,6 +46,18 @@ def main():
                         "for eps-parameterised students); 'x0_snr': the "
                         "papers' truncated-SNR x0 loss (see "
                         "training/distill.py docstring)")
+    p.add_argument("--student_pred", default=None, choices=("eps", "v"),
+                   help="student output convention. 'v' with "
+                        "--distill_guidance reparameterises the checkpoint "
+                        "to v-prediction during stage 1 (Salimans & Ho "
+                        "App. D — the stable choice for few-step students); "
+                        "halving rounds then run natively in v-space")
+    p.add_argument("--var_weight", type=float, default=None,
+                   help="train the student's learned-variance head too "
+                        "(stage 1: match the guided teacher's variance; "
+                        "halving rounds: VLB on the student grid) so "
+                        "distilled students can sample stochastic DDPM. "
+                        "Try 1.0; default off")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--data", default=None)
     p.add_argument("--save_path", default="distilled.npz")
@@ -125,6 +137,7 @@ def main():
     steps = args.steps or diff_args["rescaled_num_steps"]
     student = None
     guided_w = None  # set when stage-1 guided distillation runs
+    cur_pred = args.prediction_type  # the CURRENT weights' convention
     # round r's teacher grid: the preset/--steps even respacing for round 1,
     # then the PREVIOUS STUDENT'S exact nested grid — an even re-respacing
     # at N/2 would put later rounds on timesteps the student was never
@@ -162,13 +175,18 @@ def main():
             lr=args.lr,
             lr_schedule=args.lr_schedule,
             grad_clip=args.grad_clip or None,
-            loss_space=args.loss_space,
+            loss_space=args.loss_space if args.student_pred is None
+            else None,  # None -> the per-parameterisation default
+            student_prediction_type=args.student_pred,
+            var_weight=args.var_weight,
             seed=args.seed + 10_000,
         )
         params, student = gd.run(
             log_every=max(args.iterations // 10, 1) if args.wordy else None
         )
         guided_w = w
+        cur_pred = args.student_pred or cur_pred
+        teacher_args = dict(teacher_args, prediction_type=cur_pred)
     for r in range(args.rounds):
         if steps % 2:
             sys.exit(f"error: cannot halve odd step count {steps}")
@@ -185,17 +203,25 @@ def main():
             lr_schedule=args.lr_schedule,
             grad_clip=args.grad_clip or None,
             loss_space=args.loss_space,
+            # cross-parameterise only if stage 1 did not already convert
+            student_prediction_type=(
+                args.student_pred
+                if args.student_pred and args.student_pred != cur_pred
+                else None
+            ),
+            var_weight=args.var_weight,
             seed=args.seed + r,
         )
         params, student = distiller.run(
             log_every=max(args.iterations // 10, 1) if args.wordy else None
         )
         steps = student.rescaled_num_steps
+        cur_pred = args.student_pred or cur_pred
         teacher_args = dict(
             diff_args,
             rescaled_num_steps=steps,
             timestep_indices=np.asarray(student.timestep_map),
-            prediction_type=args.prediction_type,
+            prediction_type=cur_pred,
         )
 
     save_params_npz(params, args.save_path)
@@ -213,18 +239,23 @@ def main():
                    "timestep_indices":
                    [int(i) for i in np.asarray(student.timestep_map)],
                    "guided": guided_w is not None,
-                   "guidance_strength": guided_w}, f)
+                   "guidance_strength": guided_w,
+                   "prediction_type": cur_pred}, f)
+    pred_hint = " --prediction_type v" if cur_pred == "v" else ""
     if args.rounds == 0:
         # stage-1-only: the grid is the teacher's, so the learned-variance
         # head is still valid — any sampler works, including DDPM
-        hint = (f"  --guidance_method none"
+        hint = (f"  --guidance_method none{pred_hint}"
                 f"  # CFG (w={guided_w}) baked into the weights; any "
                 "sampler works (stage 1 keeps the teacher's grid)")
     else:
-        hint = f"  --sampler ddim --timestep_indices {indices}"
+        hint = f"  --sampler ddim --timestep_indices {indices}{pred_hint}"
         if guided_w is not None:
             hint += (" --guidance_method none"
                      f"  # CFG (w={guided_w}) is baked into the weights")
+        if args.var_weight is not None:
+            hint += ("\n  (variance head trained: stochastic --sampler "
+                     "ddpm on the same indices also works)")
     print(f"Distilled to {steps} steps -> {args.save_path}. Sample with:\n"
           + hint)
 

@@ -77,8 +77,22 @@ Usage:
                                           # rows + matched unhalved control;
                                           # QE_PGDISTILL_DDPM=1 adds the
                                           # learned-variance DDPM rows
-                                          # (measured non-viable — see the
-                                          # code comment)
+                                          # (measured non-viable with the
+                                          # stale inherited head — see the
+                                          # code comment; auto-on when
+                                          # QE_PGDISTILL_VARW trains it)
+  QE_GDISTILL_PRED=v ...                  # stage 1 reparameterises the
+                                          # student to v-prediction
+                                          # (Salimans & Ho App. D); halving
+                                          # then runs natively in v-space;
+                                          # distill row names gain a 'v'
+  QE_GDISTILL_VARW=1.0 ...                # stage-1 variance distillation
+                                          # (match the guided teacher's
+                                          # log-variance)
+  QE_PGDISTILL_VARW=1.0 ...               # stage-2 variance-head training
+                                          # (VLB on the halved grid) —
+                                          # unlocks the stochastic DDPM
+                                          # rows for halved students
 
 Results land in BASELINE.md's "Measured sample quality" table.
 """
@@ -500,6 +514,17 @@ def main():
                                     os.environ.get("QE_DISTILL_STEPS", 400)))
         base_steps = samp_args["rescaled_num_steps"]
         g_ckpt = os.environ.get("QE_GDISTILL_CKPT")
+        # QE_GDISTILL_PRED=v: stage 1 also REPARAMETERISES the student to
+        # v-prediction (Salimans & Ho App. D; VERDICT r4 #3) — the halving
+        # stage then runs natively in v-space. Row names gain a 'v'.
+        # QE_GDISTILL_VARW / QE_PGDISTILL_VARW: variance-head distillation
+        # weights (VERDICT r4 #4) — stage 1 matches the guided teacher's
+        # log-variance, stage 2 trains the head by VLB on the halved grid,
+        # unlocking the stochastic DDPM rows for halved students.
+        g_pred = os.environ.get("QE_GDISTILL_PRED", "eps")
+        g_tag = "v" if g_pred == "v" else ""
+        g_varw = os.environ.get("QE_GDISTILL_VARW")
+        g_varw = float(g_varw) if g_varw else None
         gd = GuidedDistiller(
             model, ema_params,
             dict(DIFF_TRAIN_ARGS, rescaled_num_steps=base_steps),
@@ -507,6 +532,8 @@ def main():
             iterations=gsteps,
             guidance_strength=0.8,
             lr=1e-4, lr_schedule="warmup_cosine",
+            student_prediction_type="v" if g_pred == "v" else None,
+            var_weight=g_varw,
         )
         if g_ckpt and os.path.exists(g_ckpt):
             import flax.serialization
@@ -528,7 +555,7 @@ def main():
                     f.write(flax.serialization.to_bytes(g_params))
                 print(f"saved guided-distilled student to {g_ckpt}")
         if os.environ.get("QE_GDISTILL_SAMPLE", "1") == "1":
-            modes[f"gdistill{base_steps}_1fwd"] = sample_mode(
+            modes[f"gdistill{g_tag}{base_steps}_1fwd"] = sample_mode(
                 g_diff, g_params
             )
             # the student composed with the other quality-neutral serving
@@ -538,7 +565,7 @@ def main():
             # path). QE_GDISTILL_SAMPLE=0 skips these two rows when the
             # cached student's numbers are already recorded and gdistill
             # is wanted only as the pgdistill stage's teacher.
-            modes[f"gdistill{base_steps}_1fwd_enc2"] = sample_mode(
+            modes[f"gdistill{g_tag}{base_steps}_1fwd_enc2"] = sample_mode(
                 g_diff, g_params, enc_cache=2
             )
 
@@ -562,23 +589,26 @@ def main():
 
             gd_ddim = Diffusion(model=model, **dict(
                 samp_args, guidance_method=None, guidance_strength=None,
-                use_ddim=True, ddim_eta=0.0,
+                use_ddim=True, ddim_eta=0.0, prediction_type=g_pred,
             ))
-            print(f"sampling: gdistill{base_steps}_ddim control...")
-            modes[f"gdistill{base_steps}_ddim"] = sample_mode(
+            print(f"sampling: gdistill{g_tag}{base_steps}_ddim control...")
+            modes[f"gdistill{g_tag}{base_steps}_ddim"] = sample_mode(
                 gd_ddim, g_params
             )
 
             psteps = int(os.environ.get("QE_PGDISTILL_STEPS", gsteps))
             p_ckpt = os.environ.get("QE_PGDISTILL_CKPT")
             rounds = int(os.environ.get("QE_PGDISTILL_ROUNDS", 1))
+            p_varw = os.environ.get("QE_PGDISTILL_VARW")
+            p_varw = float(p_varw) if p_varw else None
             p_params = p_diff = None
             # chained halving rounds (scripts/distill.py order): round
             # r+1's teacher grid is the PREVIOUS student's exact nested
             # grid via timestep_indices — an even re-respacing at N/2
             # would land on timesteps the student was never trained on
             t_params, t_args = g_params, dict(
-                DIFF_TRAIN_ARGS, rescaled_num_steps=base_steps
+                DIFF_TRAIN_ARGS, rescaled_num_steps=base_steps,
+                prediction_type=g_pred,
             )
             for r in range(1, rounds + 1):
                 n_t = t_args["rescaled_num_steps"]
@@ -591,6 +621,7 @@ def main():
                     shifted_synthetic(batch, seed=4 + r),
                     iterations=psteps,
                     lr=1e-4, lr_schedule="warmup_cosine",
+                    var_weight=p_varw,
                 )
                 # round 1 keeps the bare QE_PGDISTILL_CKPT path
                 # (backward-compatible); later rounds suffix .r{r}
@@ -621,43 +652,47 @@ def main():
                         print(f"saved round-{r} progressive student "
                               f"to {ck}")
                 n_s = p_diff.rescaled_num_steps
-                modes[f"pgdistill{n_s}_1fwd"] = sample_mode(
+                modes[f"pgdistill{g_tag}{n_s}_1fwd"] = sample_mode(
                     p_diff, p_params
                 )
                 if r == rounds:
                     # serving-stack bound only for the final student
-                    modes[f"pgdistill{n_s}_1fwd_enc2"] = sample_mode(
+                    modes[f"pgdistill{g_tag}{n_s}_1fwd_enc2"] = sample_mode(
                         p_diff, p_params, enc_cache=2
                     )
                 t_params = p_params
                 t_args = dict(
                     DIFF_TRAIN_ARGS, rescaled_num_steps=n_s,
                     timestep_indices=np.asarray(p_diff.timestep_map),
+                    prediction_type=g_pred,
                 )
             if (p_diff is not None
-                    and os.environ.get("QE_PGDISTILL_DDPM", "0") == "1"):
-                # The halving loss trains only the eps head; the student's
-                # learned-variance head is INHERITED from the teacher and
-                # its grid points are original-chain timesteps the teacher
-                # trained on — so stochastic DDPM on the nested grid is
-                # well-defined at the same per-step cost as the DDIM chain.
-                # MEASURED NON-VIABLE at the 8000-step budget (2026-08-20,
-                # BASELINE.md): the shared trunk drifts during halving, so
-                # the inherited variance head mis-calibrates — Fréchet 715
-                # vs 340 for eta=0 DDIM. Default off; kept as the recorded
-                # negative result.
+                    and os.environ.get(
+                        "QE_PGDISTILL_DDPM",
+                        "1" if p_varw is not None else "0") == "1"):
+                # Stochastic DDPM on the student's nested grid. With the
+                # TEACHER-INHERITED variance head this was measured
+                # non-viable at the 8000-step budget (2026-08-20,
+                # BASELINE.md: the shared trunk drifts during halving and
+                # the stale head mis-calibrates — Fréchet 715 vs 340 for
+                # eta=0 DDIM), so it defaults off — EXCEPT when
+                # QE_PGDISTILL_VARW trained the head (VLB on the halved
+                # grid), which is exactly what these rows then measure.
                 n_s = p_diff.rescaled_num_steps
                 pd_ddpm = Diffusion(model=model, **dict(
                     samp_args, guidance_method=None, guidance_strength=None,
                     rescaled_num_steps=n_s,
                     timestep_indices=np.asarray(p_diff.timestep_map),
+                    prediction_type=g_pred,
                 ))
-                print(f"sampling: pgdistill{n_s}_ddpm (stochastic, "
-                      "teacher-inherited variance head)...")
-                modes[f"pgdistill{n_s}_ddpm"] = sample_mode(
+                var_src = ("vlb-trained" if p_varw is not None
+                           else "teacher-inherited")
+                print(f"sampling: pgdistill{g_tag}{n_s}_ddpm (stochastic, "
+                      f"{var_src} variance head)...")
+                modes[f"pgdistill{g_tag}{n_s}_ddpm"] = sample_mode(
                     pd_ddpm, p_params
                 )
-                modes[f"pgdistill{n_s}_ddpm_enc2"] = sample_mode(
+                modes[f"pgdistill{g_tag}{n_s}_ddpm_enc2"] = sample_mode(
                     pd_ddpm, p_params, enc_cache=2
                 )
             if (p_diff is not None
@@ -672,10 +707,11 @@ def main():
                 # control.
                 g_eta1 = Diffusion(model=model, **dict(
                     samp_args, guidance_method=None, guidance_strength=None,
-                    use_ddim=True, ddim_eta=1.0,
+                    use_ddim=True, ddim_eta=1.0, prediction_type=g_pred,
                 ))
-                print(f"sampling: gdistill{base_steps}_eta1 control...")
-                modes[f"gdistill{base_steps}_eta1"] = sample_mode(
+                print(f"sampling: gdistill{g_tag}{base_steps}_eta1 "
+                      "control...")
+                modes[f"gdistill{g_tag}{base_steps}_eta1"] = sample_mode(
                     g_eta1, g_params
                 )
                 n_s = p_diff.rescaled_num_steps
@@ -684,13 +720,14 @@ def main():
                     use_ddim=True, ddim_eta=1.0,
                     rescaled_num_steps=n_s,
                     timestep_indices=np.asarray(p_diff.timestep_map),
+                    prediction_type=g_pred,
                 ))
-                print(f"sampling: pgdistill{n_s}_eta1 (stochastic DDIM, "
-                      "schedule-derived noise)...")
-                modes[f"pgdistill{n_s}_eta1"] = sample_mode(
+                print(f"sampling: pgdistill{g_tag}{n_s}_eta1 (stochastic "
+                      "DDIM, schedule-derived noise)...")
+                modes[f"pgdistill{g_tag}{n_s}_eta1"] = sample_mode(
                     pd_eta1, p_params
                 )
-                modes[f"pgdistill{n_s}_eta1_enc2"] = sample_mode(
+                modes[f"pgdistill{g_tag}{n_s}_eta1_enc2"] = sample_mode(
                     pd_eta1, p_params, enc_cache=2
                 )
 
