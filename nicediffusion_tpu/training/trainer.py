@@ -10,6 +10,13 @@ TPU-native re-design of the reference Trainer
     is sharded over the 'data' axis with replicated parameters; XLA emits the
     gradient all-reduce as ICI collectives. (The reference has no distributed
     training at all — reference trainer.py:9 TODO.)
+  * **Tensor-parallel training**: a mesh with a 'model' axis of size > 1
+    places params, EMA, and optimizer state by the Megatron-paired
+    unet_param_shardings (parallel/sharding.py) instead of replicating;
+    GSPMD propagates the shardings through forward/backward and the
+    optimizer update, so gradients/moments stay sharded and the per-block
+    collective structure is the paired all-reduce. dp x tp composes: batch
+    on 'data', weights on 'model'.
   * optax AdamW(b1=0.9, b2=0.999) + optax.MultiSteps for gradient
     accumulation (reference trainer.py:38, 92-96). NOTE — deliberate fix of a
     reference bug: the reference only calls backward() on accumulation
@@ -155,11 +162,70 @@ class Trainer:
         if resume_step is not None:
             self.state = self.restore(resume_step)
 
+        self._state_shardings = None
+        if self.mesh is not None:
+            self._state_shardings = self._make_state_shardings()
         self._train_step = self._build_train_step()
         if self.mesh is not None:
-            self.state = jax.device_put(
-                self.state, NamedSharding(self.mesh, P())
-            )
+            self.state = jax.device_put(self.state, self._state_shardings)
+
+    # ------------------------------------------------------------------
+
+    def _tensor_parallel(self) -> bool:
+        return (
+            self.mesh is not None
+            and "model" in self.mesh.shape
+            and self.mesh.shape["model"] > 1
+        )
+
+    def _make_state_shardings(self):
+        """TrainState-shaped sharding pytree for the configured mesh.
+
+        DP-only meshes replicate everything (the measured-optimal layout at
+        <=600M params). With a 'model' axis > 1, params/EMA follow
+        unet_param_shardings and the optimizer state inherits each
+        parameter's sharding for its params-shaped moments (mu, nu,
+        MultiSteps accumulators) by path-suffix matching — Adam moments are
+        elementwise in the parameter, so the TP shard placement is exact.
+        """
+        repl = NamedSharding(self.mesh, P())
+        if not self._tensor_parallel():
+            return jax.tree.map(lambda _: repl, self.state)
+
+        from ..parallel.sharding import unet_param_shardings
+
+        param_sh = unet_param_shardings(self.state.params, self.mesh)
+
+        def key_name(k):
+            for attr in ("key", "name", "idx"):
+                if hasattr(k, attr):
+                    return getattr(k, attr)
+            return str(k)
+
+        flat = jax.tree_util.tree_flatten_with_path(param_sh)[0]
+        by_path = {
+            tuple(key_name(k) for k in path): s for path, s in flat
+        }
+
+        def assign(path, _leaf):
+            keys = tuple(key_name(k) for k in path)
+            # params-shaped subtrees inside the optimizer state end with
+            # the full parameter path (…, 'mu'/'nu'/…, *param_path)
+            for i in range(len(keys)):
+                if keys[i:] in by_path:
+                    return by_path[keys[i:]]
+            return repl
+
+        opt_flat, opt_def = jax.tree_util.tree_flatten_with_path(
+            self.state.opt_state
+        )
+        opt_sh = jax.tree_util.tree_unflatten(
+            opt_def, [assign(p, leaf) for p, leaf in opt_flat]
+        )
+        return TrainState(
+            step=repl, params=param_sh, opt_state=opt_sh,
+            ema_params=param_sh,
+        )
 
     # ------------------------------------------------------------------
 
@@ -217,10 +283,11 @@ class Trainer:
 
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))
+        state_sh = self._state_shardings
         return jax.jit(
             train_step,
-            in_shardings=(repl, data, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data, data, repl),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,),
         )
 

@@ -142,3 +142,86 @@ def test_tp_gradients_match_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_tp_train_step_matches_dp(tmp_path):
+    """VERDICT r4 #6: a dp=4 x tp=2 mesh must TRAIN with params, EMA, and
+    optimizer state placed by unet_param_shardings (not replicated), and
+    one step must numerically match the 8-way DP-only run on the same
+    seeds — GSPMD's TP collectives are transparent to the update."""
+    from nicediffusion_tpu.training.data import synthetic_batches
+    from nicediffusion_tpu.training.trainer import Trainer
+
+    DIFF = dict(
+        original_num_steps=50, rescaled_num_steps=50,
+        sampling_var_type="learned_interpolation", loss_type="hybrid",
+        beta_schedule="cosine", guidance_method="classifier_free",
+        guidance_strength=0.8,
+    )
+
+    def trainer(mesh, seed=0):
+        model = DiffusionModel(**MODEL)
+        loader = synthetic_batches(
+            batch_size=16, resolution=8, channels=1, num_classes=4, seed=3
+        )
+        return Trainer(
+            model=model, diffusion_args=dict(DIFF), dataloader=loader,
+            iterations=0, batch_size=16, lr=1e-3, weight_decay=1e-4,
+            checkpoint_dir=str(tmp_path / "ckpt"), mesh=mesh, seed=seed,
+        )
+
+    t_tp = trainer(make_mesh(num_data=4, num_model=2))
+    t_dp = trainer(make_mesh())  # 8-way DP control
+
+    # the TP state is actually sharded over the model axis: the
+    # column-parallel in_conv kernel for params AND its EMA copy...
+    block = t_tp.state.params["downsampling_1"]["layers_0"]
+    assert block["in_conv"]["kernel"].sharding.spec == P(
+        None, None, None, "model"
+    )
+    ema_block = t_tp.state.ema_params["downsampling_1"]["layers_0"]
+    assert ema_block["in_conv"]["kernel"].sharding.spec == P(
+        None, None, None, "model"
+    )
+    # ...and the Adam moments follow the parameter placement (path-suffix
+    # matching in Trainer._make_state_shardings)
+    opt_specs = [
+        leaf.sharding.spec
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            t_tp.state.opt_state
+        )[0]
+        if any(getattr(k, "key", None) == "in_conv" for k in path)
+        and leaf.ndim == 4
+    ]
+    assert opt_specs and all(
+        s == P(None, None, None, "model") for s in opt_specs
+    )
+
+    batch, labels = next(t_tp.loader)
+    rng = jax.random.PRNGKey(7)
+
+    b_tp, l_tp = t_tp._shard_batch(batch, labels)
+    state_tp, m_tp = t_tp._train_step(t_tp.state, b_tp, l_tp, rng)
+
+    b_dp, l_dp = t_dp._shard_batch(batch, labels)
+    state_dp, m_dp = t_dp._train_step(t_dp.state, b_dp, l_dp, rng)
+
+    np.testing.assert_allclose(
+        float(m_tp["loss"]), float(m_dp["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_tp["grad_norm"]), float(m_dp["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_tp.params), jax.tree.leaves(state_dp.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+    for a, b in zip(
+        jax.tree.leaves(state_tp.ema_params),
+        jax.tree.leaves(state_dp.ema_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
