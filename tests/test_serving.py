@@ -186,6 +186,39 @@ def test_http_server_end_to_end():
             server.shutdown()
 
 
+def test_http_request_timeout_surfaces_as_500():
+    """A stuck worker must surface as a 500 after request_timeout instead
+    of hanging the client connection forever (scripts/serve.py
+    --request_timeout wires this through make_server). The stub service's
+    Future never resolves — the worst-case wedged-device scenario."""
+    from concurrent.futures import Future
+
+    class StuckService:
+        def submit(self, **kw):
+            return Future()  # never completed
+
+        def stats(self):
+            return {"warm": True}
+
+    server = make_server(StuckService(), port=0, request_timeout=0.2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/sample",
+            data=json.dumps({"labels": [1]}).encode(), method="POST",
+        )
+        t0 = time.time()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 500
+        assert "TimeoutError" in json.load(ei.value)["error"]
+        assert time.time() - t0 < 30  # bounded by request_timeout, not 60s
+    finally:
+        server.shutdown()
+
+
 def test_serve_cli_builds_service(tmp_path):
     # drive scripts/serve.py's builder end-to-end on CPU with a tiny
     # custom model config + npz checkpoint (no HTTP, no warmup loop)

@@ -1,6 +1,15 @@
 """Round-3 int8 serving-path experiments: find a conv formulation that
 actually realises the MXU's int8 advantage end-to-end.
 
+THE int8 probe (one probe per question, VERDICT r4 #8): this supersedes
+and absorbs the removed round-2 tools/int8_probe.py — its op-level
+int8-vs-bf16 peak question is re-measured here by section A's per-shape
+conv formulations, and its frozen findings (int8 conv 1.07-1.27x bf16,
+int8 dot_general ~1.48x) live in BASELINE.md "Round-3: static-scale int8
+serving". This probe produced that section's formulation table
+(BASELINE.md:~225) and the static-vs-dynamic chain numbers behind
+ops/quant.py's static-scale design.
+
 Round-2 findings (BASELINE.md): XLA int8 *convolutions* only reach
 1.07-1.27x bf16, while XLA int8 dot_general reaches ~1.48x — and the
 dynamic-quant int8 model forward (98.4 vs 119 ms) loses its whole gain
