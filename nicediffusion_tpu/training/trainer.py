@@ -156,15 +156,16 @@ class Trainer:
             # copy, not alias (reference trainer.py:55 aliases)
             ema_params=jax.tree.map(lambda p: p.copy(), init_params),
         )
+        self._state_shardings = None
+        if self.mesh is not None:
+            self._state_shardings = self._make_state_shardings()
+
         if resume_step == "auto":
             # crash-resume ergonomics: pick the newest checkpoint if any
             resume_step = self.latest_checkpoint_step()
         if resume_step is not None:
             self.state = self.restore(resume_step)
 
-        self._state_shardings = None
-        if self.mesh is not None:
-            self._state_shardings = self._make_state_shardings()
         self._train_step = self._build_train_step()
         if self.mesh is not None:
             self.state = jax.device_put(self.state, self._state_shardings)
@@ -480,22 +481,42 @@ class Trainer:
         if multiprocess:
             assert self.mesh is not None, (
                 "multi-process restore needs the mesh to define the "
-                "replicated sharding of the restored state"
+                "sharding of the restored state"
             )
-            repl = NamedSharding(self.mesh, P())
+            # restore straight into the training placement: replicated on
+            # DP-only meshes, the TP param/moment shardings otherwise
+            sh = self._state_shardings or jax.tree.map(
+                lambda _: NamedSharding(self.mesh, P()), self.state
+            )
 
-            def leaf_template(x):
-                return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=repl)
+            def subtree(tree, shtree):
+                return jax.tree.map(
+                    lambda x, s: jax.ShapeDtypeStruct(
+                        np.shape(x), x.dtype, sharding=s
+                    ),
+                    tree, shtree,
+                )
+
+            template = {
+                "step": np.zeros((), dtype=np.int64),
+                "params": subtree(self.state.params, sh.params),
+                "ema_params": subtree(self.state.ema_params, sh.ema_params),
+                "opt_state": subtree(self.state.opt_state, sh.opt_state),
+            }
         else:
             def leaf_template(x):
                 return np.asarray(x)
 
-        template = {
-            "step": np.zeros((), dtype=np.int64),
-            "params": jax.tree.map(leaf_template, self.state.params),
-            "ema_params": jax.tree.map(leaf_template, self.state.ema_params),
-            "opt_state": jax.tree.map(leaf_template, self.state.opt_state),
-        }
+            template = {
+                "step": np.zeros((), dtype=np.int64),
+                "params": jax.tree.map(leaf_template, self.state.params),
+                "ema_params": jax.tree.map(
+                    leaf_template, self.state.ema_params
+                ),
+                "opt_state": jax.tree.map(
+                    leaf_template, self.state.opt_state
+                ),
+            }
         restored = ckptr.restore(self._ckpt_path(step), template)
         return TrainState(
             step=jnp.asarray(

@@ -577,9 +577,9 @@ def test_progressive_var_weight_trains_variance_head():
             jnp.asarray(labels), step_rng,
         )
         assert np.isfinite(float(metrics["loss"]))
-        return np.asarray(state.params["out_conv"]["kernel"])
+        return np.asarray(state.params["out"]["layers_2"]["kernel"])
 
-    k0 = np.asarray(params["out_conv"]["kernel"])
+    k0 = np.asarray(params["out"]["layers_2"]["kernel"])
     half = k0.shape[-1] // 2
     k_no = one_step(None)
     k_var = one_step(1.0)
