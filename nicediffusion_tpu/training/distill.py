@@ -380,7 +380,7 @@ class ProgressiveDistiller:
         weight_decay: float = 0.0,
         ema_rate: float = 0.9999,
         seed: int = 0,
-        loss_space: str = "x0_snr",
+        loss_space: str | None = None,
         grad_clip: float | None = 1.0,
         lr_schedule: str = "constant",
         student_prediction_type: str | None = None,
@@ -400,7 +400,10 @@ class ProgressiveDistiller:
         self.iterations = iterations
         self.rng = jax.random.PRNGKey(seed)
 
-        self.loss_space = loss_space
+        # None -> the stage-2 measured optimum (x0_snr — the halving must
+        # be accurate where image structure forms; module docstring), which
+        # is also the bounded v-space weighting for v students.
+        self.loss_space = "x0_snr" if loss_space is None else loss_space
         # var_weight: train the student's log-variance head with the IDDPM
         # VLB term on the student's own halved grid (eps stop-gradiented,
         # exactly the hybrid-loss variance channel) so halved students can

@@ -41,10 +41,11 @@ def main():
                    choices=("constant", "warmup_cosine"))
     p.add_argument("--grad_clip", type=float, default=1.0,
                    help="global-norm gradient clip (0 disables)")
-    p.add_argument("--loss_space", default="eps", choices=("eps", "x0_snr"),
-                   help="'eps': uniform-weight epsilon MSE (stable default "
-                        "for eps-parameterised students); 'x0_snr': the "
-                        "papers' truncated-SNR x0 loss (see "
+    p.add_argument("--loss_space", default=None, choices=("eps", "x0_snr"),
+                   help="loss conditioning; default = each stage's measured "
+                        "optimum (stage 1: eps-MSE for eps students, stage "
+                        "2: the papers' truncated-SNR x0 loss; v students "
+                        "always get the bounded x0_snr weighting — see "
                         "training/distill.py docstring)")
     p.add_argument("--student_pred", default=None, choices=("eps", "v"),
                    help="student output convention. 'v' with "
@@ -175,8 +176,7 @@ def main():
             lr=args.lr,
             lr_schedule=args.lr_schedule,
             grad_clip=args.grad_clip or None,
-            loss_space=args.loss_space if args.student_pred is None
-            else None,  # None -> the per-parameterisation default
+            loss_space=args.loss_space,  # None -> per-stage default
             student_prediction_type=args.student_pred,
             var_weight=args.var_weight,
             seed=args.seed + 10_000,
