@@ -307,14 +307,15 @@ class GuidedDistiller:
             eps_s, lv_s = self.student._guided_eps(
                 params, z, j, y, want_log_var=want_lv
             )
-            loss = _distill_loss(self.loss_space, eps_s, eps_t, a, s)
+            loss_eps = _distill_loss(self.loss_space, eps_s, eps_t, a, s)
+            loss_var = jnp.zeros(())
             if want_lv:
                 # variance distillation: same grid, so the guided teacher's
                 # resolved log-variance is the exact target (2210.03142)
-                loss = loss + self.var_weight * jnp.mean(
+                loss_var = self.var_weight * jnp.mean(
                     (lv_s - jax.lax.stop_gradient(lv_t)) ** 2
                 )
-            return loss
+            return loss_eps + loss_var, (loss_eps, loss_var)
 
         def step(state: DistillState, teacher_params, batch, labels, rng):
             j_rng, n_rng = jax.random.split(rng)
@@ -323,9 +324,9 @@ class GuidedDistiller:
                 self.student.rescaled_num_steps,
             )
             noise = jax.random.normal(n_rng, batch.shape, dtype=batch.dtype)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state.params, teacher_params, batch, labels, j, noise
-            )
+            (loss, (l_eps, l_var)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, teacher_params, batch, labels, j, noise)
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -336,7 +337,8 @@ class GuidedDistiller:
             )
             return (
                 DistillState(state.step + 1, params, opt_state, ema),
-                {"loss": loss, "grad_norm": optax.global_norm(grads)},
+                {"loss": loss, "loss_eps": l_eps, "loss_var": l_var,
+                 "grad_norm": optax.global_norm(grads)},
             )
 
         return jax.jit(step, donate_argnums=(0,))
@@ -356,9 +358,14 @@ class GuidedDistiller:
             if (it + 1) % _DISPATCH_SYNC == 0:
                 int(self.state.step)  # bound the async dispatch queue
             if log_every and (it + 1) % log_every == 0:
+                var_part = (
+                    f" (eps={float(metrics['loss_eps']):.5f}"
+                    f" var={float(metrics['loss_var']):.5f})"
+                    if self.var_weight is not None else ""
+                )
                 print(
                     f"guided-distill step {it + 1}/{self.iterations}: "
-                    f"loss={float(metrics['loss']):.5f} "
+                    f"loss={float(metrics['loss']):.5f}{var_part} "
                     f"gnorm={float(metrics['grad_norm']):.3f}"
                 )
         return self.state.params, self.student
@@ -465,7 +472,8 @@ class ProgressiveDistiller:
             eps_s, lv_s = self.student._guided_eps(
                 params, z, j, y, want_log_var=want_lv
             )
-            loss = _distill_loss(self.loss_space, eps_s, eps_t, a_t, s_t)
+            loss_eps = _distill_loss(self.loss_space, eps_s, eps_t, a_t, s_t)
+            loss_var = jnp.zeros(())
             if want_lv:
                 # variance head: likelihood-optimal log-variance for ONE
                 # student step, via the VLB on the student's halved grid
@@ -474,8 +482,8 @@ class ProgressiveDistiller:
                 vlb = self.student.variational_lower_bound(
                     x0, z, j, jax.lax.stop_gradient(eps_s), lv_s
                 )
-                loss = loss + self.var_weight * jnp.mean(vlb)
-            return loss
+                loss_var = self.var_weight * jnp.mean(vlb)
+            return loss_eps + loss_var, (loss_eps, loss_var)
 
         def step(state: DistillState, teacher_params, batch, labels, rng):
             j_rng, n_rng = jax.random.split(rng)
@@ -484,9 +492,9 @@ class ProgressiveDistiller:
                 self.student.rescaled_num_steps,
             )
             noise = jax.random.normal(n_rng, batch.shape, dtype=batch.dtype)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state.params, teacher_params, batch, labels, j, noise
-            )
+            (loss, (l_eps, l_var)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, teacher_params, batch, labels, j, noise)
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -497,7 +505,8 @@ class ProgressiveDistiller:
             )
             return (
                 DistillState(state.step + 1, params, opt_state, ema),
-                {"loss": loss, "grad_norm": optax.global_norm(grads)},
+                {"loss": loss, "loss_eps": l_eps, "loss_var": l_var,
+                 "grad_norm": optax.global_norm(grads)},
             )
 
         return jax.jit(step, donate_argnums=(0,))
@@ -525,9 +534,14 @@ class ProgressiveDistiller:
             if (it + 1) % _DISPATCH_SYNC == 0:
                 int(self.state.step)  # bound the async dispatch queue
             if log_every and (it + 1) % log_every == 0:
+                var_part = (
+                    f" (eps={float(metrics['loss_eps']):.5f}"
+                    f" var={float(metrics['loss_var']):.5f})"
+                    if self.var_weight is not None else ""
+                )
                 print(
                     f"distill step {it + 1}/{self.iterations}: "
-                    f"loss={float(metrics['loss']):.5f} "
+                    f"loss={float(metrics['loss']):.5f}{var_part} "
                     f"gnorm={float(metrics['grad_norm']):.3f}"
                 )
         return self.state.params, self.student
