@@ -795,6 +795,20 @@ def main():
 
     results = {}
     for name, samples in modes.items():
+        # A numerically diverged mode (NaN/inf samples — e.g. an unstable
+        # stochastic chain) must not abort the whole report: record its
+        # non-finite fraction and skip the stats that require finiteness
+        # instead of letting np.linalg raise mid-loop (observed with the
+        # var-trained halved student's DDPM row, 2026-08-20).
+        finite = np.isfinite(samples).all(axis=tuple(range(1, samples.ndim)))
+        nonfinite_frac = float(1.0 - finite.mean())
+        if nonfinite_frac > 0:
+            print(json.dumps({
+                "mode": name, "nonfinite_sample_frac": round(nonfinite_frac, 4),
+                "note": "samples diverged; finiteness-requiring stats skipped",
+            }))
+            results[name] = {"nonfinite_sample_frac": nonfinite_frac}
+            continue
         lg = logits_np(samples)
         acc, acc_se = acc_stats(lg.argmax(-1) == np.asarray(y_eval))
         fd, fd_se = frechet_jackknife(lg)
