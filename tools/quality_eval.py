@@ -289,7 +289,14 @@ def main():
         }
         with open(ckpt_path, "rb") as f:
             restored = flax.serialization.from_bytes(tmpl, f.read())
-        ema_params, cls_params = restored["ema"], restored["cls"]
+        # device-resident, NOT numpy: numpy params are re-serialized and
+        # re-shipped through the TPU relay on EVERY jitted call that takes
+        # them as an argument — a restored 8000-step distillation run
+        # ground to ~10x slower with 60 GB host RSS before this asarray
+        # (observed 2026-08-20; in-process-trained params never hit it
+        # because they are already jax.Arrays)
+        ema_params = jax.tree.map(jnp.asarray, restored["ema"])
+        cls_params = jax.tree.map(jnp.asarray, restored["cls"])
     else:
         print("training UNet on synthetic data...")
         model, ema_params = train_unet(train_steps, batch, dtype)
@@ -540,9 +547,10 @@ def main():
 
             print(f"reusing guided-distilled student from {g_ckpt}...")
             with open(g_ckpt, "rb") as f:
-                g_params = flax.serialization.from_bytes(
-                    gd.state.params, f.read()
-                )
+                g_params = jax.tree.map(
+                    jnp.asarray,
+                    flax.serialization.from_bytes(gd.state.params, f.read()),
+                )  # device-resident (see the QE_CKPT restore note)
             g_diff = gd.student
         else:
             print(f"guided distillation ({gsteps} steps, w=0.8 -> "
@@ -634,9 +642,12 @@ def main():
                     print(f"reusing round-{r} progressive student "
                           f"from {ck}...")
                     with open(ck, "rb") as f:
-                        p_params = flax.serialization.from_bytes(
-                            pd.state.params, f.read()
-                        )
+                        p_params = jax.tree.map(
+                            jnp.asarray,
+                            flax.serialization.from_bytes(
+                                pd.state.params, f.read()
+                            ),
+                        )  # device-resident (QE_CKPT restore note)
                     p_diff = pd.student
                 else:
                     print(f"progressive distillation round {r}/{rounds} "
